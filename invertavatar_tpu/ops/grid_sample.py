@@ -1,0 +1,68 @@
+"""Bilinear grid sampling (align_corners=False, zeros padding), NHWC.
+
+TPU-native counterpart of `torch.nn.functional.grid_sample` as used on the hot
+path of the reference (tri-plane lookup `volumetric_rendering/renderer.py:85-97`
+and the UV neural-texture warp `triplane_v20.py:331`). Implemented as four
+vectorized gathers + a weighted blend; XLA lowers the gathers to TPU
+dynamic-gather ops. A fused Pallas variant can replace this where profiling
+says gathers dominate.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def grid_sample(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Sample `img` at normalized grid coordinates.
+
+    Args:
+        img:  `[B, H, W, C]`.
+        grid: `[B, ..., 2]` with (x, y) in [-1, 1]; x indexes W, y indexes H
+              (torch grid_sample convention, align_corners=False).
+
+    Returns:
+        `[B, ..., C]` bilinear samples; out-of-bounds taps contribute zero.
+    """
+    B, H, W, C = img.shape
+    out_shape = grid.shape[:-1] + (C,)
+    grid = grid.reshape(B, -1, 2)
+    gx, gy = grid[..., 0].astype(jnp.float32), grid[..., 1].astype(jnp.float32)
+
+    # align_corners=False: -1 maps to -0.5, +1 maps to size-0.5 (pixel centers at i+0.5).
+    ix = (gx + 1.0) * (W * 0.5) - 0.5
+    iy = (gy + 1.0) * (H * 0.5) - 0.5
+
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    wx = ix - ix0
+    wy = iy - iy0
+    ix0 = ix0.astype(jnp.int32)
+    iy0 = iy0.astype(jnp.int32)
+    ix1 = ix0 + 1
+    iy1 = iy0 + 1
+
+    img_flat = img.reshape(B, H * W, C)
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        flat = yc * W + xc  # [B, M]
+        vals = jnp.take_along_axis(img_flat, flat[..., None], axis=1)
+        return vals * valid[..., None].astype(img.dtype)
+
+    v00 = tap(iy0, ix0)
+    v01 = tap(iy0, ix1)
+    v10 = tap(iy1, ix0)
+    v11 = tap(iy1, ix1)
+
+    wx = wx[..., None].astype(img.dtype)
+    wy = wy[..., None].astype(img.dtype)
+    out = (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+    return out.reshape(out_shape)
