@@ -1,0 +1,371 @@
+"""Next3D++ tri-plane avatar generator (TPU-native).
+
+Behavioral counterpart of the shipped reference generator
+`training_avatar_texture/triplane_v20.py:28-438` (TriPlaneGenerator + OSGDecoder):
+
+  * three StyleGAN2 backbones sharing one mapping — `texture_backbone` (256²,
+    32ch neural texture), `face_backbone` (256², 32ch refinement, conditioned
+    on the warped texture pyramid), `backbone` (256², 96ch → 3×32 static planes)
+  * `rasterize` warps the texture pyramid into image space through the
+    FaceVerse `uvcoords_image` and alpha-blends with center-cropped static
+    feats (:317-339, bbox [57,185,64,192] in 256-space)
+  * blended frontal plane → two-pass importance volume rendering at 128² →
+    super-resolution to 512² (:89-150)
+
+All tensors NHWC; planes are [B, 3, H, W, C]. The cv2 flood-fill host
+round-trip is replaced by the on-device `render.mouth.fill_mouth`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.grid_sample import grid_sample
+from ..ops.resize import resize_bilinear
+from ..render.mouth import fill_mouth
+from ..render.ray_sampler import sample_rays
+from ..render.renderer import ImportanceRenderer
+from .layers import FullyConnectedLayer
+from .synthesis import Generator
+
+BBOX_256 = (57, 185, 64, 192)  # face crop of the frontal plane (triplane_v20.py:114)
+
+
+class OSGDecoder(nn.Module):
+    """Tri-plane feature decoder (reference triplane_v20.py:415-438)."""
+
+    n_features: int = 32
+    hidden_dim: int = 64
+    decoder_lr_mul: float = 1.0
+    decoder_output_dim: int = 32
+
+    @nn.compact
+    def __call__(self, sampled_features: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        # [B, 3, M, C] -> mean over planes -> MLP
+        x = jnp.mean(sampled_features.astype(jnp.float32), axis=1)
+        B, M, C = x.shape
+        x = x.reshape(B * M, C)
+        x = FullyConnectedLayer(
+            self.n_features, self.hidden_dim, lr_multiplier=self.decoder_lr_mul, name="fc0"
+        )(x)
+        x = jax.nn.softplus(x)
+        x = FullyConnectedLayer(
+            self.hidden_dim, 1 + self.decoder_output_dim, lr_multiplier=self.decoder_lr_mul, name="fc1"
+        )(x)
+        x = x.reshape(B, M, -1)
+        rgb = jax.nn.sigmoid(x[..., 1:]) * (1 + 2 * 0.001) - 0.001  # MipNeRF sigmoid clamp
+        sigma = x[..., 0:1]
+        return {"rgb": rgb, "sigma": sigma}
+
+
+def _to_planes(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, 3*C] -> [B, 3, H, W, C] (channel-major grouping like torch view)."""
+    B, H, W, C3 = x.shape
+    x = x.reshape(B, H, W, 3, C3 // 3)
+    return jnp.transpose(x, (0, 3, 1, 2, 4))
+
+
+class TriPlaneGenerator(nn.Module):
+    z_dim: int
+    c_dim: int
+    w_dim: int
+    img_resolution: int
+    img_channels: int
+    sr_num_fp16_res: int = 0
+    rendering_kwargs: Any = None  # dict with the reference's key names (SURVEY §2)
+    neural_rendering_resolution: int = 128
+    channel_base: int = 32768
+    channel_max: int = 512
+    num_fp16_res: int = 0
+    conv_clamp: Optional[float] = 256.0
+    map_num_layers: int = 2
+
+    def setup(self):
+        rk = self.rendering_kwargs or {}
+        common = dict(
+            z_dim=self.z_dim,
+            c_dim=self.c_dim,
+            w_dim=self.w_dim,
+            img_resolution=256,
+            channel_base=self.channel_base,
+            channel_max=self.channel_max,
+            num_fp16_res=self.num_fp16_res,
+            conv_clamp=self.conv_clamp,
+            map_num_layers=self.map_num_layers,
+        )
+        self.texture_backbone = Generator(img_channels=32, **common)
+        self.face_backbone = Generator(img_channels=32, **common)
+        self.backbone = Generator(
+            img_channels=32 * 3, mapping_ws=self.texture_backbone.synthesis.num_ws, **common
+        )
+        sr_name = rk.get(
+            "superresolution_module",
+            "training_avatar_texture.superresolution.SuperresolutionHybrid8XDC",
+        ).rsplit(".", 1)[-1]
+        from . import superresolution as sr_mod
+
+        self.superresolution = getattr(sr_mod, sr_name)(
+            channels=32,
+            img_resolution=self.img_resolution,
+            sr_num_fp16_res=self.sr_num_fp16_res,
+            sr_antialias=rk.get("sr_antialias", True),
+        )
+        self.decoder = OSGDecoder(
+            32,
+            decoder_lr_mul=rk.get("decoder_lr_mul", 1.0),
+            decoder_output_dim=32,
+        )
+        self.renderer = ImportanceRenderer()
+
+    # ------------------------------------------------------------------ mapping
+    def mapping(self, z, c, truncation_psi=1.0, truncation_cutoff=None, update_emas=False):
+        """triplane_v20.py:64-70: zero/scale the pose conditioning label."""
+        rk = self.rendering_kwargs or {}
+        if rk.get("c_gen_conditioning_zero", True):
+            c = jnp.zeros_like(c)
+        c = c[:, : self.c_dim]
+        return self.backbone.mapping(
+            z,
+            c * rk.get("c_scale", 0.0),
+            truncation_psi=truncation_psi,
+            truncation_cutoff=truncation_cutoff,
+            update_emas=update_emas,
+        )
+
+    # ---------------------------------------------------------------- rasterize
+    def rasterize(
+        self,
+        texture_feats: List[jnp.ndarray],
+        uvcoords_image: jnp.ndarray,  # [B, 256, 256, 3]
+        static_feats: List[jnp.ndarray],
+        bbox_256=BBOX_256,
+    ):
+        """UV-warp texture pyramid + blend with cropped static feats (:317-339)."""
+        uvcoords_image = uvcoords_image.astype(jnp.float32)
+        grid = uvcoords_image[..., :2]
+        alpha = uvcoords_image[..., 2:3]
+        full_alpha, mouth_masks = fill_mouth(alpha)
+        # upper-mouth mask: zero out rows above 87 (256-space)
+        upper = mouth_masks.at[:, :87].set(0.0)
+        upper_alpha = jnp.clip(alpha + upper, 0.0, 1.0)
+
+        rendering_images = []
+        for idx, texture in enumerate(texture_feats):
+            res = texture.shape[1]
+            bbox = [round(i * res / 256) for i in bbox_256]
+            warped = grid_sample(texture.astype(jnp.float32), grid)  # [B, 256, 256, C]
+            rendering_feat = resize_bilinear(warped, (res, res), antialias=True)
+            alpha_ = resize_bilinear(alpha, (res, res), antialias=True)
+            static_crop = static_feats[idx][:, bbox[0] : bbox[1], bbox[2] : bbox[3], :]
+            static_feat = resize_bilinear(static_crop.astype(jnp.float32), (res, res), antialias=True)
+            rendering_images.append(
+                jnp.concatenate(
+                    [
+                        rendering_feat * alpha_ + static_feat * (1 - alpha_),
+                        resize_bilinear(upper_alpha, (res, res), antialias=True),
+                    ],
+                    axis=-1,
+                )
+            )
+        return rendering_images, full_alpha, mouth_masks
+
+    # ----------------------------------------------------------- plane blending
+    def _blend_planes(self, rendering_stitch, full_alpha, static_plane, bbox_256=BBOX_256):
+        """Paste the 128²-resized face render/alpha into the frontal plane and
+        alpha-blend against the static tri-plane (:119-128). Only plane 0 differs."""
+        B, H, W, C = rendering_stitch.shape  # 256² 32ch
+        y0, x0 = bbox_256[0], bbox_256[2]
+        face_h, face_w = bbox_256[1] - bbox_256[0], bbox_256[3] - bbox_256[2]
+
+        stitch_small = resize_bilinear(rendering_stitch, (face_h, face_w), antialias=True)
+        alpha_small = resize_bilinear(full_alpha, (face_h, face_w), antialias=True)
+        stitch_full = jnp.zeros((B, H, W, C), jnp.float32)
+        alpha_full = jnp.zeros((B, H, W, 1), jnp.float32)
+        stitch_full = jax.lax.dynamic_update_slice(stitch_full, stitch_small, (0, y0, x0, 0))
+        alpha_full = jax.lax.dynamic_update_slice(alpha_full, alpha_small, (0, y0, x0, 0))
+
+        # plane 0 blended, planes 1/2 keep the static features (alpha = 0 there)
+        zeros_s = jnp.zeros_like(stitch_full)
+        stitch3 = jnp.stack([stitch_full, zeros_s, zeros_s], axis=1)  # [B, 3, H, W, C]
+        zeros_a = jnp.zeros_like(alpha_full)
+        alpha3 = jnp.stack([alpha_full, zeros_a, zeros_a], axis=1)
+        return stitch3 * alpha3 + static_plane.astype(jnp.float32) * (1 - alpha3)
+
+    def _static_feats_for_raster(self, static_feats):
+        """Take plane 0 of the 96-ch taps at both ends of the feature list (:109-112)."""
+        out = list(static_feats)
+        out[0] = _to_planes(out[0])[:, 0]
+        out[-1] = _to_planes(out[-1])[:, 0]
+        return out
+
+    def _render_core(
+        self, ws, c, rendering_stitch, full_alpha, static_plane, evaluation, noise_mode, rng
+    ):
+        rk = self.rendering_kwargs or {}
+        cam = c[:, -25:]
+        cam2world = cam[:, :16].reshape(-1, 4, 4)
+        intrinsics = cam[:, 16:25].reshape(-1, 3, 3)
+        res = self.neural_rendering_resolution
+        ray_o, ray_d = sample_rays(cam2world, intrinsics, res)
+
+        blended_planes = self._blend_planes(rendering_stitch, full_alpha, static_plane)
+
+        decoder = lambda feats: self.decoder(feats)
+        feature_samples, depth_samples, _ = self.renderer(
+            blended_planes, decoder, ray_o, ray_d, rk, evaluation=evaluation, rng=rng
+        )
+        B = ws.shape[0]
+        feature_image = feature_samples.reshape(B, res, res, feature_samples.shape[-1])
+        depth_image = depth_samples.reshape(B, res, res, 1)
+        rgb_image = feature_image[..., :3]
+        sr_image = self.superresolution(
+            rgb_image,
+            feature_image,
+            ws,
+            noise_mode=rk.get("superresolution_noise_mode", "none"),
+        )
+        return {
+            "image": sr_image,
+            "image_raw": rgb_image,
+            "image_depth": depth_image,
+            "feature_image": feature_image,
+            "triplane": blended_planes,
+        }
+
+    def _rng(self):
+        return self.make_rng("ray") if self.has_rng("ray") else jax.random.PRNGKey(0)
+
+    # ---------------------------------------------------------------- synthesis
+    def synthesis(
+        self,
+        ws,
+        c,
+        mesh_condition: Dict[str, jnp.ndarray],
+        evaluation: bool = False,
+        noise_mode: str = "random",
+        return_featmap: bool = False,
+    ):
+        """Full forward (triplane_v20.py:89-150)."""
+        texture_feats = self.texture_backbone.synthesis(ws, return_list=True, noise_mode=noise_mode)
+        static_feats = self.backbone.synthesis(ws, return_list=True, noise_mode=noise_mode)
+        static_plane = _to_planes(static_feats[-1])
+
+        rendering_images, full_alpha, _ = self.rasterize(
+            texture_feats,
+            mesh_condition["uvcoords_image"],
+            self._static_feats_for_raster(static_feats),
+        )
+        rendering_stitch = self.face_backbone.synthesis(
+            ws, cond_list=rendering_images, noise_mode=noise_mode
+        )
+        out = self._render_core(
+            ws, c, rendering_stitch, full_alpha, static_plane, evaluation, noise_mode, self._rng()
+        )
+        if return_featmap:
+            out["texture"] = texture_feats
+        else:
+            out = {k: out[k] for k in ("image", "image_raw", "image_depth")}
+        return out
+
+    def synthesis_withTexture(
+        self,
+        ws,
+        texture_feats: List[jnp.ndarray],
+        c,
+        mesh_condition: Dict[str, jnp.ndarray],
+        static_feats: Optional[List[jnp.ndarray]] = None,
+        evaluation: bool = False,
+        noise_mode: str = "random",
+    ):
+        """Same pipeline with precomputed texture/static features — the
+        inversion/animation entry point (triplane_v20.py:152-244)."""
+        if static_feats is None:
+            static_feats = self.backbone.synthesis(ws, return_list=True, noise_mode=noise_mode)
+        static_plane = _to_planes(static_feats[-1])
+        rendering_images, full_alpha, _ = self.rasterize(
+            texture_feats,
+            mesh_condition["uvcoords_image"],
+            self._static_feats_for_raster(static_feats),
+        )
+        rendering_stitch = self.face_backbone.synthesis(
+            ws, cond_list=rendering_images, noise_mode=noise_mode
+        )
+        return self._render_core(
+            ws, c, rendering_stitch, full_alpha, static_plane, evaluation, noise_mode, self._rng()
+        )
+
+    def synthesis_withCondition(
+        self,
+        ws,
+        c,
+        mesh_condition: Dict[str, jnp.ndarray],
+        texture_feats_conditions=None,
+        static_feats_conditions=None,
+        evaluation: bool = False,
+        noise_mode: str = "random",
+        only_image: bool = False,
+        return_feats: bool = False,
+    ):
+        """Recompute backbones with CS-SFT offsets injected (triplane_v20.py:246-315)."""
+        texture_feats = self.texture_backbone.synthesis(
+            ws, return_list=True, feat_conditions=texture_feats_conditions, noise_mode=noise_mode
+        )
+        static_feats = self.backbone.synthesis(
+            ws, return_list=True, feat_conditions=static_feats_conditions, noise_mode=noise_mode
+        )
+        static_plane = _to_planes(static_feats[-1])
+        rendering_images, full_alpha, _ = self.rasterize(
+            texture_feats,
+            mesh_condition["uvcoords_image"],
+            self._static_feats_for_raster(static_feats),
+        )
+        rendering_stitch = self.face_backbone.synthesis(
+            ws, cond_list=rendering_images, noise_mode=noise_mode
+        )
+        out = self._render_core(
+            ws, c, rendering_stitch, full_alpha, static_plane, evaluation, noise_mode, self._rng()
+        )
+        if only_image:
+            return {"image": out["image"]}
+        if return_feats:
+            out["static"] = static_feats
+            out["texture"] = texture_feats
+        return out
+
+    # ------------------------------------------------------------ density probes
+    def sample_mixed(self, coordinates, ws, mesh_condition, noise_mode: str = "random"):
+        """Density/color at arbitrary 3D coords from ws (triplane_v20.py:373-402);
+        used for shape extraction and the density TV regularizer."""
+        rk = self.rendering_kwargs or {}
+        texture_feats = self.texture_backbone.synthesis(ws, return_list=True, noise_mode=noise_mode)
+        static_feats = self.backbone.synthesis(ws, return_list=True, noise_mode=noise_mode)
+        static_plane = _to_planes(static_feats[-1])
+        rendering_images, full_alpha, _ = self.rasterize(
+            texture_feats,
+            mesh_condition["uvcoords_image"],
+            self._static_feats_for_raster(static_feats),
+        )
+        rendering_stitch = self.face_backbone.synthesis(
+            ws, cond_list=rendering_images, noise_mode=noise_mode
+        )
+        blended_planes = self._blend_planes(rendering_stitch, full_alpha, static_plane)
+        decoder = lambda feats: self.decoder(feats)
+        return self.renderer.run_model(blended_planes, decoder, coordinates, rk)
+
+    def sample(self, coordinates, z, c, mesh_condition, truncation_psi=1.0,
+               truncation_cutoff=None, noise_mode: str = "random"):
+        """triplane_v20.py:341-371 — like sample_mixed but from z."""
+        ws = self.mapping(z, c, truncation_psi=truncation_psi, truncation_cutoff=truncation_cutoff)
+        return self.sample_mixed(coordinates, ws, mesh_condition, noise_mode=noise_mode)
+
+    def __call__(self, z, c, mesh_condition, truncation_psi=1.0, truncation_cutoff=None,
+                 evaluation: bool = False, noise_mode: str = "random", update_emas: bool = False):
+        ws = self.mapping(
+            z, c, truncation_psi=truncation_psi, truncation_cutoff=truncation_cutoff,
+            update_emas=update_emas,
+        )
+        return self.synthesis(ws, c, mesh_condition, evaluation=evaluation, noise_mode=noise_mode)
