@@ -31,6 +31,13 @@ import numpy as np
 _BUFFER_LEAVES = {"noise_const", "w_avg"}
 _DROP_LEAVES = {"resample_filter"}
 
+# torch nn.Sequential index names -> this package's named layers.
+# OSGDecoder (triplane_v20.py:421-426): net.0 / net.2 = the two FC layers.
+_DEFAULT_REGEX_RENAMES = [
+    (re.compile(r"(^|\.)net\.0\."), r"\1fc0."),
+    (re.compile(r"(^|\.)net\.2\."), r"\1fc1."),
+]
+
 
 def _to_numpy(t) -> np.ndarray:
     try:
@@ -72,6 +79,8 @@ def convert_state_dict(
                 if name.startswith(src):
                     name = dst + name[len(src):]
                     break
+        for pat, repl in _DEFAULT_REGEX_RENAMES:
+            name = pat.sub(repl, name)
         leaf = name.split(".")[-1]
         if leaf in _DROP_LEAVES:
             continue
