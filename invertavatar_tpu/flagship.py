@@ -1,0 +1,84 @@
+"""Flagship model configuration — the shipped `ani3dgan512` geometry
+(reference train_avatar_texture.py:254-348 + triplane_v20 defaults)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.triplane import TriPlaneGenerator
+
+FLAGSHIP_RENDERING_KWARGS = {
+    "image_resolution": 512,
+    "disparity_space_sampling": False,
+    "clamp_mode": "softplus",
+    "superresolution_module": "training_avatar_texture.superresolution.SuperresolutionHybrid8XDC",
+    "c_gen_conditioning_zero": True,
+    "c_scale": 1.0,
+    "superresolution_noise_mode": "none",
+    "density_reg": 0.25,
+    "density_reg_p_dist": 0.004,
+    "reg_type": "l1",
+    "decoder_lr_mul": 1.0,
+    "sr_antialias": True,
+    "depth_resolution": 48,
+    "depth_resolution_importance": 48,
+    "ray_start": 2.25,
+    "ray_end": 3.3,
+    "box_warp": 1.0,
+    "avg_camera_radius": 2.7,
+    "avg_camera_pivot": [0, 0, 0.2],
+    "det_stratified": True,
+}
+
+
+def flagship_generator(neural_rendering_resolution: int = 128) -> TriPlaneGenerator:
+    return TriPlaneGenerator(
+        z_dim=512,
+        c_dim=25,
+        w_dim=512,
+        img_resolution=512,
+        img_channels=3,
+        sr_num_fp16_res=0,
+        rendering_kwargs=dict(FLAGSHIP_RENDERING_KWARGS),
+        neural_rendering_resolution=neural_rendering_resolution,
+        channel_base=32768,
+        channel_max=512,
+        num_fp16_res=0,
+        conv_clamp=256.0,
+        map_num_layers=2,
+    )
+
+
+def example_inputs(batch: int = 1, seed: int = 0):
+    """(z, c, uvcoords_image) with a frontal camera + synthetic face mask."""
+    from .camera import fov_to_intrinsics, lookat_camera_pose
+
+    rng = np.random.RandomState(seed)
+    z = rng.randn(batch, 512).astype(np.float32)
+    c2w = np.asarray(
+        lookat_camera_pose(None, np.pi / 2, np.pi / 2, jnp.array([0.0, 0.0, 0.2]), radius=2.7, batch_size=batch)
+    )
+    K = np.tile(np.asarray(fov_to_intrinsics(18.837))[None], (batch, 1, 1))
+    c = np.concatenate([c2w.reshape(batch, 16), K.reshape(batch, 9)], axis=1).astype(np.float32)
+    yy, xx = np.mgrid[0:256, 0:256].astype(np.float32) / 256
+    face = (((xx - 0.5) / 0.3) ** 2 + ((yy - 0.47) / 0.38) ** 2) < 1.0
+    mouth = (((xx - 0.5) / 0.1) ** 2 + ((yy - 0.62) / 0.04) ** 2) < 1.0
+    alpha = (face & ~mouth).astype(np.float32)
+    uvc = np.stack([(xx * 2 - 1) * 0.9, (yy * 2 - 1) * 0.9, alpha], axis=-1)
+    uvc[alpha == 0, :2] = 0.0
+    uvcoords = np.tile(uvc[None], (batch, 1, 1, 1)).astype(np.float32)
+    return jnp.asarray(z), jnp.asarray(c), jnp.asarray(uvcoords)
+
+
+def init_flagship(G: TriPlaneGenerator, seed: int = 0):
+    z, c, uvc = example_inputs(1, seed)
+    rng = jax.random.PRNGKey(seed)
+    rngs = {
+        "params": rng,
+        "buffers": jax.random.fold_in(rng, 1),
+        "noise": jax.random.fold_in(rng, 2),
+        "ray": jax.random.fold_in(rng, 3),
+    }
+    return G.init(rngs, z, c, {"uvcoords_image": uvc}, noise_mode="const", evaluation=True)
