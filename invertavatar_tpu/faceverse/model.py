@@ -1,0 +1,207 @@
+"""FaceVerse v3 3DMM — coefficient pipeline as pure JAX linear algebra.
+
+Behavioral counterpart of `data_preprocess/FaceVerse/FaceVerseModel_v3.py:26-416`:
+identity/expression blendshape evaluation with per-eye rotations, coefficient
+split/merge, Euler rotations. Everything here is a handful of matmuls and
+static slices — trivially jittable, no state.
+
+Assets: the published `faceverse_v3_1.npy` dict (not redistributed here) is
+loaded via `load_faceverse_assets`; tests use synthetic dicts of the same
+schema.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FaceVerseAssets(NamedTuple):
+    meanshape: np.ndarray  # [1, 3V] (axis-flipped, scaled — see load)
+    id_base: np.ndarray  # [3V, id_dims]
+    exp_base: np.ndarray  # [3V, exp_dims]
+    uv_per_ver: np.ndarray  # [V, 2]
+    tri: np.ndarray  # [F, 3] int32
+    ver_inds: Tuple[int, int, int]  # (l_eye_start, l_eye_end/r_eye_start, r_eye_end)
+    id_dims: int
+    exp_dims: int
+    tex_dims: int
+
+
+def load_faceverse_assets(
+    model_path: str, exp_base_path: Optional[str] = None
+) -> FaceVerseAssets:
+    """Load + preprocess the published model dict (FaceVerseModel_v3.py:41-57):
+    meanshape/idBase/expBase get y,z negated, ×0.1, meanshape y += 1."""
+    model_dict = np.load(model_path, allow_pickle=True).item()
+
+    meanshape = model_dict["meanshape"].reshape(-1, 3).astype(np.float32)
+    meanshape[:, [1, 2]] *= -1
+    meanshape = meanshape * 0.1
+    meanshape[:, 1] += 1
+    meanshape = meanshape.reshape(1, -1)
+
+    id_base = model_dict["idBase"].reshape(-1, 3, 150).astype(np.float32)
+    id_base[:, [1, 2]] *= -1
+    id_base = (id_base * 0.1).reshape(-1, 150)
+
+    n3v = id_base.shape[0]  # 3 * num_vertices
+    if exp_base_path is not None:  # expr_52 variant (metamodel/v3/exBase_52.npy)
+        exp_base = np.load(exp_base_path).astype(np.float32)
+    else:
+        exp_base = np.asarray(model_dict["exBase"], dtype=np.float32)
+    exp_dims = exp_base.size // n3v
+    exp_base = exp_base.reshape(-1, 3, exp_dims)
+    exp_base[:, [1, 2]] *= -1
+    exp_base = (exp_base * 0.1).reshape(-1, exp_dims)
+
+    return FaceVerseAssets(
+        meanshape=meanshape,
+        id_base=id_base,
+        exp_base=exp_base,
+        uv_per_ver=model_dict["uv_per_ver"].astype(np.float32),
+        tri=model_dict["tri"].astype(np.int32),
+        ver_inds=tuple(int(i) for i in model_dict["ver_inds"]),
+        id_dims=id_base.shape[1],
+        exp_dims=exp_dims,
+        tex_dims=int(model_dict["texBase"].shape[1]) if "texBase" in model_dict else 251,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class FaceVerseModel:
+    """Stateless coefficient pipeline over loaded assets."""
+
+    assets: FaceVerseAssets
+
+    @property
+    def id_dims(self):
+        return self.assets.id_dims
+
+    @property
+    def exp_dims(self):
+        return self.assets.exp_dims
+
+    @property
+    def all_dims(self):
+        return self.assets.id_dims + self.assets.exp_dims + self.assets.tex_dims
+
+    def split_coeffs(self, coeffs: jnp.ndarray):
+        """FaceVerseModel_v3.py:139-153 — (id, exp, tex, angles, gamma, trans, eye, scale)."""
+        idd, expd, alld = self.id_dims, self.exp_dims, self.all_dims
+        id_coeff = coeffs[:, :idd]
+        exp_coeff = coeffs[:, idd : idd + expd]
+        tex_coeff = coeffs[:, idd + expd : alld]
+        angles = coeffs[:, alld : alld + 3]
+        gamma = coeffs[:, alld + 3 : alld + 30]
+        translation = coeffs[:, alld + 30 : alld + 33]
+        if coeffs.shape[1] == alld + 36:
+            eye_coeff = coeffs[:, alld + 33 :]
+            scale = jnp.ones_like(coeffs[:, -1:])
+        else:
+            eye_coeff = coeffs[:, alld + 33 : -1]
+            scale = coeffs[:, -1:]
+        return id_coeff, exp_coeff, tex_coeff, angles, gamma, translation, eye_coeff, scale
+
+    def merge_coeffs(self, id_coeff, exp_coeff, tex_coeff, angles, gamma, translation, eye, scale):
+        return jnp.concatenate(
+            [id_coeff, exp_coeff, tex_coeff, angles, gamma, translation, eye, scale], axis=1
+        )
+
+    def get_vs(self, id_coeff, exp_coeff, l_eye_mat=None, r_eye_mat=None,
+               l_eye_mean=None, r_eye_mean=None) -> jnp.ndarray:
+        """Blendshape eval + eye rotations (FaceVerseModel_v3.py:237-245)."""
+        a = self.assets
+        shape = (
+            jnp.einsum("ij,aj->ai", jnp.asarray(a.id_base), id_coeff)
+            + jnp.einsum("ij,aj->ai", jnp.asarray(a.exp_base), exp_coeff)
+            + jnp.asarray(a.meanshape)
+        )
+        B = id_coeff.shape[0]
+        vs = shape.reshape(B, -1, 3)
+        if l_eye_mat is not None:
+            i0, i1, i2 = a.ver_inds
+            l = jnp.matmul(vs[:, i0:i1] - l_eye_mean, l_eye_mat) + l_eye_mean
+            r = jnp.matmul(vs[:, i1:i2] - r_eye_mean, r_eye_mat) + r_eye_mean
+            vs = jnp.concatenate([vs[:, :i0], l, r, vs[:, i2:]], axis=1)
+        return vs
+
+    def _eye_shape(self, id_coeff):
+        a = self.assets
+        shape = jnp.einsum("ij,aj->ai", jnp.asarray(a.id_base), id_coeff) + jnp.asarray(a.meanshape)
+        return shape.reshape(id_coeff.shape[0], -1, 3)
+
+    def get_l_eye_center(self, id_coeff):
+        """FaceVerseModel_v3.py:254-258 (z += 0.005 then mean)."""
+        i0, i1, _ = self.assets.ver_inds
+        eye = self._eye_shape(id_coeff)[:, i0:i1]
+        eye = eye.at[:, :, 2].add(0.005)
+        return jnp.mean(eye, axis=1, keepdims=True)
+
+    def get_r_eye_center(self, id_coeff):
+        _, i1, i2 = self.assets.ver_inds
+        eye = self._eye_shape(id_coeff)[:, i1:i2]
+        eye = eye.at[:, :, 2].add(0.005)
+        return jnp.mean(eye, axis=1, keepdims=True)
+
+    @staticmethod
+    def compute_eye_rotation_matrix(eye: jnp.ndarray) -> jnp.ndarray:
+        """FaceVerseModel_v3.py:303-327: (rotY @ rotX).T per batch."""
+        sinx, cosx = jnp.sin(eye[:, 0]), jnp.cos(eye[:, 0])
+        siny, cosy = jnp.sin(eye[:, 1]), jnp.cos(eye[:, 1])
+        zeros = jnp.zeros_like(sinx)
+        ones = jnp.ones_like(sinx)
+        rot_x = jnp.stack(
+            [ones, zeros, zeros, zeros, cosx, -sinx, zeros, sinx, cosx], axis=-1
+        ).reshape(-1, 3, 3)
+        rot_y = jnp.stack(
+            [cosy, zeros, siny, zeros, ones, zeros, -siny, zeros, cosy], axis=-1
+        ).reshape(-1, 3, 3)
+        return jnp.transpose(jnp.matmul(rot_y, rot_x), (0, 2, 1))
+
+    @staticmethod
+    def compute_rotation_matrix(angles: jnp.ndarray) -> jnp.ndarray:
+        """FaceVerseModel_v3.py:329-357: (rotZ @ rotY @ rotX).T."""
+        sinx, cosx = jnp.sin(angles[:, 0]), jnp.cos(angles[:, 0])
+        siny, cosy = jnp.sin(angles[:, 1]), jnp.cos(angles[:, 1])
+        sinz, cosz = jnp.sin(angles[:, 2]), jnp.cos(angles[:, 2])
+        zeros = jnp.zeros_like(sinx)
+        ones = jnp.ones_like(sinx)
+        rot_x = jnp.stack(
+            [ones, zeros, zeros, zeros, cosx, -sinx, zeros, sinx, cosx], axis=-1
+        ).reshape(-1, 3, 3)
+        rot_y = jnp.stack(
+            [cosy, zeros, siny, zeros, ones, zeros, -siny, zeros, cosy], axis=-1
+        ).reshape(-1, 3, 3)
+        rot_z = jnp.stack(
+            [cosz, -sinz, zeros, sinz, cosz, zeros, zeros, zeros, ones], axis=-1
+        ).reshape(-1, 3, 3)
+        return jnp.transpose(jnp.matmul(jnp.matmul(rot_z, rot_y), rot_x), (0, 2, 1))
+
+
+def batch_orth_proj(X: jnp.ndarray, camera: jnp.ndarray) -> jnp.ndarray:
+    """Orthographic projection (reference renderer.py:636-646): scale/translate xy."""
+    camera = camera.reshape(-1, 1, 3)
+    x_trans = jnp.concatenate([X[:, :, :2] + camera[:, :, 1:], X[:, :, 2:]], axis=2)
+    return camera[:, :, 0:1] * x_trans
+
+
+def angle2matrix(angles_deg: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix from degrees (reference renderer.py:650-678)."""
+    angles = angles_deg * (np.pi / 180.0)
+    s, c = jnp.sin(angles), jnp.cos(angles)
+    cx, cy, cz = c[:, 0], c[:, 1], c[:, 2]
+    sx, sy, sz = s[:, 0], s[:, 1], s[:, 2]
+    R = jnp.stack(
+        [
+            cz * cy, cz * sy * sx - sz * cx, cz * sy * cx + sz * sx,
+            sz * cy, sz * sy * sx + cz * cx, sz * sy * cx - cz * sx,
+            -sy, cy * sx, cy * cx,
+        ],
+        axis=0,
+    )
+    return R.reshape(-1, 3, 3)
