@@ -81,4 +81,21 @@ def init_flagship(G: TriPlaneGenerator, seed: int = 0):
         "noise": jax.random.fold_in(rng, 2),
         "ray": jax.random.fold_in(rng, 3),
     }
-    return G.init(rngs, z, c, {"uvcoords_image": uvc}, noise_mode="const", evaluation=True)
+    # trace-only shape inference, then direct per-leaf init — avoids compiling
+    # (and eagerly executing) the full forward just to materialize parameters.
+    shapes = jax.eval_shape(
+        lambda rngs, z, c, uvc: G.init(
+            rngs, z, c, {"uvcoords_image": uvc}, noise_mode="const", evaluation=True
+        ),
+        rngs, z, c, uvc,
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    npr = np.random.RandomState(seed)
+    vals = [
+        (npr.standard_normal(s.shape).astype(s.dtype) * 0.1)
+        if np.issubdtype(s.dtype, np.floating)
+        else np.zeros(s.shape, s.dtype)
+        for s in leaves
+    ]
+    host = jax.tree_util.tree_unflatten(treedef, vals)
+    return jax.device_put(host)
