@@ -1,0 +1,175 @@
+"""Few-shot inversion network (reference encoder_inversion/models/uvnet.py:15-210).
+
+`InversionNet` composes: the e4e W+ encoder (one-shot init), the UV-space
+texture U-Net and image-space tri-plane SFT U-Net (offset predictors with
+ConvGRU recurrence), and the frozen tri-plane generator. Quality grows with
+the number of observed frames via `ar_forward`, which carries GRU states
+across chunks indefinitely (uvnet.py:160-203 — the streaming few-shot path
+driven by eval_seq.py).
+
+Module names mirror torch (`encoder`, `unet_encoder.texture_unet`,
+`unet_encoder.triplane_unet`, `generator`, `latent_avg`, `black_uv_bg`) so the
+published `FSInvertAvatar.pkl` imports by name.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.grid_sample import grid_sample
+from ...ops.resize import resize_bilinear
+from ..triplane import TriPlaneGenerator
+from .e4e import Encoder4Editing
+from .unet_encoders import TriPlanefeatEncoder, TriPlaneSFTfeatEncoder, adaptive_avg_pool
+
+
+class UnetEncoderPair(nn.Module):
+    """Container mirroring reference `unet_encoder` (uvnet.py:15-24)."""
+
+    encoding_texture: bool = True
+    encoding_triplane: bool = True
+
+    def setup(self):
+        self.texture_unet = (
+            TriPlanefeatEncoder(inp_ch=7, res=256, use_gru=True)
+            if self.encoding_texture
+            else None
+        )
+        self.triplane_unet = (
+            TriPlaneSFTfeatEncoder(inp_ch=6, res=256, use_gru=True)
+            if self.encoding_triplane
+            else None
+        )
+
+    def __call__(self, *a, **k):  # container only
+        raise NotImplementedError
+
+
+class InversionNet(nn.Module):
+    generator_cfg: Any = None  # dict of TriPlaneGenerator fields
+    n_styles: int = 14
+    encoding_texture: bool = True
+    encoding_triplane: bool = True
+
+    def setup(self):
+        self.generator = TriPlaneGenerator(**dict(self.generator_cfg))
+        self.encoder = Encoder4Editing(n_styles=self.n_styles, inp_ch=3)
+        self.unet_encoder = UnetEncoderPair(self.encoding_texture, self.encoding_triplane)
+        self.latent_avg = self.variable(
+            "buffers", "latent_avg", lambda: jnp.zeros((1, 512), jnp.float32)
+        )
+        self.black_uv_bg = self.variable(
+            "buffers", "black_uv_bg", lambda: -jnp.ones((1, 256, 256, 3), jnp.float32)
+        )
+
+    # ------------------------------------------------------------------ encode
+    def encode(self, x, train: bool = False):
+        """e4e W+ codes + latent_avg (uvnet.py:107-115). x: [B, H, W, 3]."""
+        if x.shape[1] != 256:
+            x = adaptive_avg_pool(x, 256)
+        codes = self.encoder(x, train=train)
+        return codes + self.latent_avg.value[None]
+
+    def get_unet_uvinput(self, uv, delta_x):
+        """UV-space input assembly (uvnet.py:117-121).
+
+        uv: [B, 256, 256, 6] = (uv_gttex 3ch ‖ uv_pverts 3ch); delta_x: [B, 256, 256, 3].
+        """
+        uv_gttex, uv_pverts = uv[..., :3], uv[..., 3:]
+        uv_delta = grid_sample(delta_x, uv_pverts[..., :2])
+        mask = uv_pverts[..., 2:3]
+        uv_delta = uv_delta * mask + self.black_uv_bg.value * (1 - mask)
+        return jnp.concatenate([uv_gttex, uv_delta, mask], axis=-1)
+
+    # ----------------------------------------------------------------- forward
+    def __call__(self, x: Dict, cam, v, e4e_results: Optional[Dict] = None,
+                 return_feats: bool = False, train: bool = False):
+        """Single-frame forward (uvnet.py:123-158). x: {'image': [B,H,W,3+], 'uv': [B,256,256,6]}."""
+        sg = jax.lax.stop_gradient
+        if e4e_results is None:
+            ws = self.encode(x["image"][..., :3], train=train)
+            tex = self.generator.texture_backbone.synthesis(ws, return_list=True, noise_mode="const")
+            static = self.generator.backbone.synthesis(ws, return_list=True, noise_mode="const")
+        else:
+            ws, tex, static = e4e_results["w"], e4e_results["texture"], e4e_results["static"]
+        y_hat = self.generator.synthesis_withTexture(
+            ws, tex, cam, v, static_feats=static, noise_mode="const"
+        )
+        e4e_image = y_hat["image"]
+        if e4e_image.shape[1] != x["image"].shape[1]:
+            e4e_image = resize_bilinear(e4e_image, (256, 256), antialias=True)
+        ws, tex, static, e4e_image = sg(ws), sg(tex), sg(static), sg(e4e_image)
+        delta_x = e4e_image - x["image"][..., :3]
+
+        x_input = self.get_unet_uvinput(x["uv"], delta_x)
+        tex_offsets, _ = self.unet_encoder.texture_unet(x_input[:, None], train=train)
+        texture_feats = [f + o for f, o in zip(tex, tex_offsets)] + list(tex[len(tex_offsets):])
+
+        tri_input = jnp.concatenate([x["image"][..., :3], delta_x], axis=-1)
+        sft, _ = self.unet_encoder.triplane_unet(tri_input[:, None], train=train)
+        static_feats = self.generator.backbone.synthesis(
+            ws, return_list=True, feat_conditions=sft, noise_mode="const"
+        )
+
+        out = self.generator.synthesis_withTexture(
+            ws, texture_feats, cam, v, static_feats=static_feats, noise_mode="const"
+        )
+        if return_feats:
+            out["texture"] = texture_feats
+            out["static"] = static_feats
+        out["w"] = ws
+        out["e4e_image"] = e4e_image
+        return out
+
+    # ------------------------------------------------------------- streaming
+    def ar_forward(self, x: Dict, vid_c, vid_v, ws, r_list, e4e_results: Optional[Dict] = None,
+                   return_fake: bool = False):
+        """Incremental few-shot update over a T-frame chunk (uvnet.py:160-203).
+
+        x: {'image': [T,256,256,3], 'uv': [T,256,256,6]}; r_list: [tex_r, tri_r]
+        GRU-state pytrees carried across chunks (None on the first chunk).
+        Returns (updated_e4e_results, new_r_list[, fakes]).
+        """
+        T = vid_c.shape[0]
+        if ws is None:
+            ws = self.encode(x["image"][0:1])
+        if e4e_results is None:
+            tex = self.generator.texture_backbone.synthesis(ws, return_list=True, noise_mode="const")
+            static = self.generator.backbone.synthesis(ws, return_list=True, noise_mode="const")
+        else:
+            tex, static = e4e_results["texture"], e4e_results["static"]
+        vid_ws = jnp.repeat(ws, T, axis=0)
+
+        def rep(feats):
+            return [jnp.repeat(f, T, axis=0) for f in feats]
+
+        y_hat = self.generator.synthesis_withTexture(
+            vid_ws, rep(tex), vid_c, vid_v, static_feats=rep(static), noise_mode="const"
+        )
+        delta_x = y_hat["image"]
+        if delta_x.shape[1] != x["image"].shape[1]:
+            delta_x = resize_bilinear(delta_x, (256, 256), antialias=True)
+        delta_x = delta_x - x["image"][..., :3]
+        uv_input = self.get_unet_uvinput(x["uv"], delta_x)
+        tri_input = jnp.concatenate([x["image"][..., :3], delta_x], axis=-1)
+
+        tex_offsets, r_tex = self.unet_encoder.texture_unet(uv_input[None], r_list[0])
+        texture_feats = [f + o for f, o in zip(tex, tex_offsets)] + list(tex[len(tex_offsets):])
+
+        sft, r_tri = self.unet_encoder.triplane_unet(tri_input[None], r_list[1])
+        static_feats = self.generator.backbone.synthesis(
+            ws, return_list=True, feat_conditions=sft, noise_mode="const"
+        )
+
+        updated = {"w": ws, "texture": texture_feats, "static": static_feats}
+        if not return_fake:
+            return updated, [r_tex, r_tri]
+        fakes = self.generator.synthesis_withTexture(
+            vid_ws, rep(texture_feats), vid_c, vid_v,
+            static_feats=rep(static_feats), noise_mode="const", evaluation=True,
+        )["image"]
+        return updated, {"e4e": y_hat["image"], "image": fakes, "x_input": uv_input}, [r_tex, r_tri]

@@ -28,8 +28,9 @@ from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 
-_BUFFER_LEAVES = {"noise_const", "w_avg"}
-_DROP_LEAVES = {"resample_filter"}
+_BUFFER_LEAVES = {"noise_const", "w_avg", "latent_avg", "black_uv_bg"}
+_BATCH_STATS_LEAVES = {"running_mean", "running_var"}
+_DROP_LEAVES = {"resample_filter", "num_batches_tracked"}
 
 # torch nn.Sequential index names -> this package's named layers.
 # OSGDecoder (triplane_v20.py:421-426): net.0 / net.2 = the two FC layers.
@@ -73,6 +74,7 @@ def convert_state_dict(
     """
     params: Dict[str, Any] = {}
     buffers: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
     for name, tensor in state_dict.items():
         if rename:
             for src, dst in rename.items():
@@ -85,7 +87,12 @@ def convert_state_dict(
         if leaf in _DROP_LEAVES:
             continue
         arr = convert_array(name, _to_numpy(tensor))
-        tree = buffers if leaf in _BUFFER_LEAVES else params
+        if leaf in _BATCH_STATS_LEAVES:
+            tree = batch_stats
+        elif leaf in _BUFFER_LEAVES:
+            tree = buffers
+        else:
+            tree = params
         node = tree
         parts = name.split(".")
         for p in parts[:-1]:
@@ -94,6 +101,8 @@ def convert_state_dict(
     out = {"params": params}
     if buffers:
         out["buffers"] = buffers
+    if batch_stats:
+        out["batch_stats"] = batch_stats
     return out
 
 
