@@ -33,10 +33,10 @@ _BATCH_STATS_LEAVES = {"running_mean", "running_var"}
 _DROP_LEAVES = {"resample_filter", "num_batches_tracked"}
 
 # torch nn.Sequential index names -> this package's named layers.
-# OSGDecoder (triplane_v20.py:421-426): net.0 / net.2 = the two FC layers.
+# OSGDecoder (triplane_v20.py:421-426): decoder.net.0 / .net.2 = the two FCs.
 _DEFAULT_REGEX_RENAMES = [
-    (re.compile(r"(^|\.)net\.0\."), r"\1fc0."),
-    (re.compile(r"(^|\.)net\.2\."), r"\1fc1."),
+    (re.compile(r"(^|\.)decoder\.net\.0\."), r"\1decoder.fc0."),
+    (re.compile(r"(^|\.)decoder\.net\.2\."), r"\1decoder.fc1."),
 ]
 
 
