@@ -1,0 +1,195 @@
+"""Fast tri-plane bilinear sampling paths for the volume renderer.
+
+The naive formulation (4 row-gathers per point, ops/grid_sample.py) is
+latency-bound on TPU: the gather engine retires one 256–512 B slice every
+~7 ns regardless of locality, costing ~100 ms per render pass at the flagship
+config. Two exact replacements:
+
+  * `grid_sample_patch`: ONE `lax.gather` of a 2×2×C patch per point over
+    spatially-padded, channel-padded (C→64) planes — 4× fewer, 4× larger
+    slices (~1.5–2× faster). Exact bilinear with zero padding; used for
+    arbitrary point sets (importance pass, sample_mixed).
+
+  * `sample_planes_coarse_windowed`: exploits the coarse pass's structure —
+    points are (ray-tile × depth-stratum) blocks whose plane-space footprint
+    is a small window (ray divergence over a 16×16-pixel tile at the
+    reference's 18.8° FOV spans <28 texels; one stratum spans <8 texels of
+    depth). Each (plane, tile, stratum) extracts its window with a
+    `dynamic_slice` (big efficient DMAs) and evaluates bilinear weights as
+    tent-function contractions on the MXU — no per-point gather at all.
+    Exact as long as the footprint fits the window; `window` is sized from
+    camera geometry with margin (see `coarse_window_for`).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def pad_planes_for_patch(planes: jnp.ndarray, channel_pad: int = 64) -> jnp.ndarray:
+    """[N, H, W, C] -> spatially +1-padded, channel-padded planes."""
+    N, H, W, C = planes.shape
+    pc = max(channel_pad - C, 0)
+    return jnp.pad(planes, ((0, 0), (1, 1), (1, 1), (0, pc)))
+
+
+def grid_sample_patch(
+    planes_padded: jnp.ndarray,  # [N, H+2, W+2, Cp] from pad_planes_for_patch
+    grid: jnp.ndarray,  # [N, M, 2] xy in [-1, 1]
+    out_channels: int,
+) -> jnp.ndarray:
+    """Exact bilinear (align_corners=False, zeros padding) via one patch gather."""
+    N, Hp, Wp, Cp = planes_padded.shape
+    H, W = Hp - 2, Wp - 2
+    gx = (grid[..., 0].astype(jnp.float32) + 1.0) * (W * 0.5) - 0.5
+    gy = (grid[..., 1].astype(jnp.float32) + 1.0) * (H * 0.5) - 0.5
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx = (gx - x0)[..., None]
+    wy = (gy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    vx0 = (x0i >= 0) & (x0i < W)
+    vx1 = (x0i + 1 >= 0) & (x0i + 1 < W)
+    vy0 = (y0i >= 0) & (y0i < H)
+    vy1 = (y0i + 1 >= 0) & (y0i + 1 < H)
+
+    starts = jnp.stack(
+        [jnp.clip(y0i + 1, 0, Hp - 2), jnp.clip(x0i + 1, 0, Wp - 2)], axis=-1
+    )
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+
+    def one(op, idx):
+        return lax.gather(
+            op, idx, dnums, slice_sizes=(2, 2, Cp), mode=lax.GatherScatterMode.CLIP
+        )
+
+    patch = jax.vmap(one)(planes_padded, starts)  # [N, M, 2, 2, Cp]
+    dt = patch.dtype
+    out = (
+        patch[:, :, 0, 0] * ((vy0 & vx0)[..., None] * (1 - wx) * (1 - wy)).astype(dt)
+        + patch[:, :, 0, 1] * ((vy0 & vx1)[..., None] * wx * (1 - wy)).astype(dt)
+        + patch[:, :, 1, 0] * ((vy1 & vx0)[..., None] * (1 - wx) * wy).astype(dt)
+        + patch[:, :, 1, 1] * ((vy1 & vx1)[..., None] * wx * wy).astype(dt)
+    )
+    return out[..., :out_channels]
+
+
+def coarse_window_for(resolution: int, tile: int = 16) -> int:
+    """Window size covering a ray-tile × stratum footprint with margin.
+
+    At the reference camera (normalized focal ~4.26, depth ≤ 3.3, box_warp 1,
+    256² planes) a 16/128 ray-tile spans ≤ 25 texels; a stratum spans ≤ 8
+    texels of depth. 48 is a comfortable bound for tiles up to 16 rays at
+    128² (scaled for other render resolutions).
+    """
+    frac = tile / max(resolution, 1)
+    texels = int(math.ceil(frac * 0.25 * 3.4 * 2 * 128)) + 10
+    return max(32, min(128, 16 * -(-texels // 16)))
+
+
+def sample_planes_coarse_windowed(
+    planes: jnp.ndarray,  # [N=B*3, H, W, C]
+    grid: jnp.ndarray,  # [N, R, S, 2] plane-space xy in [-1,1]; rays row-major res×res
+    res: int,  # render resolution (res*res == R)
+    tile: int = 16,
+    window: int = 48,
+    s_chunk: int = 8,
+) -> jnp.ndarray:
+    """Windowed exact bilinear for structured (ray-tile × stratum) points.
+
+    Returns [N, R, S, C]. Taps outside a block's window contribute zero (the
+    window is sized so this never happens for in-spec cameras; out-of-plane
+    taps are zero by the same mechanism, matching zeros padding).
+    """
+    N, H, W, C = planes.shape
+    R, S = grid.shape[1], grid.shape[2]
+    assert R == res * res and res % tile == 0
+    t_side = res // tile
+    T = t_side * t_side
+    P = tile * tile  # rays per tile
+
+    # [N, R, S, 2] -> [N, T, P, S, 2]
+    g = grid.reshape(N, t_side, tile, t_side, tile, S, 2)
+    g = jnp.transpose(g, (0, 1, 3, 2, 4, 5, 6)).reshape(N, T, P, S, 2)
+    gx = (g[..., 0].astype(jnp.float32) + 1.0) * (W * 0.5) - 0.5  # [N, T, P, S]
+    gy = (g[..., 1].astype(jnp.float32) + 1.0) * (H * 0.5) - 0.5
+
+    # per (N, T, S) window starts
+    x_min = jnp.min(gx, axis=2)  # [N, T, S]
+    y_min = jnp.min(gy, axis=2)
+    xs = jnp.clip(jnp.floor(x_min).astype(jnp.int32) - 1, 0, W - window)
+    ys = jnp.clip(jnp.floor(y_min).astype(jnp.int32) - 1, 0, H - window)
+
+    gx_s = jnp.transpose(gx, (0, 1, 3, 2))  # [N, T, S, P]
+    gy_s = jnp.transpose(gy, (0, 1, 3, 2))
+
+    def block(plane, ys_i, xs_i, gy_b, gx_b):
+        # plane [H, W, C]; gy_b/gx_b [P]
+        blk = lax.dynamic_slice(plane, (ys_i, xs_i, 0), (window, window, C))
+        ly = gy_b - ys_i  # [P] local coords
+        lx = gx_b - xs_i
+        iy = lax.broadcasted_iota(jnp.float32, (P, window), 1)
+        # tent weights == bilinear; zero for taps outside the window.
+        # in-plane validity: absolute tap position must be inside [0, size)
+        ay = iy + ys_i
+        ohy = jnp.maximum(0.0, 1.0 - jnp.abs(iy - ly[:, None]))
+        ohy = ohy * ((ay >= 0) & (ay < H))
+        ix = lax.broadcasted_iota(jnp.float32, (P, window), 1)
+        ax = ix + xs_i
+        ohx = jnp.maximum(0.0, 1.0 - jnp.abs(ix - lx[:, None]))
+        ohx = ohx * ((ax >= 0) & (ax < W))
+        prec = lax.Precision.HIGHEST if blk.dtype == jnp.float32 else None
+        tmp = jnp.einsum("py,yxc->pxc", ohy.astype(blk.dtype), blk, precision=prec)
+        return jnp.einsum("px,pxc->pc", ohx.astype(blk.dtype), tmp, precision=prec)
+
+    block_t = jax.vmap(block, in_axes=(None, 0, 0, 0, 0))  # over T
+
+    def per_schunk(args):
+        ys_c, xs_c, gy_c, gx_c = args  # [N, T, sc, ...]
+        def per_n(plane, ys_n, xs_n, gy_n, gx_n):
+            # vmap over the s-chunk
+            return jax.vmap(
+                lambda ys_s, xs_s, gy_s_, gx_s_: block_t(plane, ys_s, xs_s, gy_s_, gx_s_),
+                in_axes=(1, 1, 1, 1),
+            )(ys_n, xs_n, gy_n, gx_n)  # [sc, T, P, C]
+        return jax.vmap(per_n)(planes, ys_c, xs_c, gy_c, gx_c)  # [N, sc, T, P, C]
+
+    n_chunks = -(-S // s_chunk)
+    pad_s = n_chunks * s_chunk - S
+    def pad(x, axis):
+        if pad_s == 0:
+            return x
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (0, pad_s)
+        return jnp.pad(x, cfg, mode="edge")
+
+    ys_p = pad(ys, 2).reshape(N, T, n_chunks, s_chunk)
+    xs_p = pad(xs, 2).reshape(N, T, n_chunks, s_chunk)
+    gy_p = pad(gy_s, 2).reshape(N, T, n_chunks, s_chunk, P)
+    gx_p = pad(gx_s, 2).reshape(N, T, n_chunks, s_chunk, P)
+
+    out = lax.map(
+        per_schunk,
+        (
+            jnp.moveaxis(ys_p, 2, 0),
+            jnp.moveaxis(xs_p, 2, 0),
+            jnp.moveaxis(gy_p, 2, 0),
+            jnp.moveaxis(gx_p, 2, 0),
+        ),
+    )  # [n_chunks, N, sc, T, P, C]
+    out = jnp.moveaxis(out, 0, 1).reshape(N, n_chunks * s_chunk, T, P, C)[:, :S]
+    # [N, S, T, P, C] -> [N, R, S, C]
+    out = out.reshape(N, S, t_side, t_side, tile, tile, C)
+    out = jnp.transpose(out, (0, 2, 4, 3, 5, 1, 6)).reshape(N, R, S, C)
+    return out

@@ -26,6 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.grid_sample import grid_sample
+from ..ops.plane_sample import (
+    grid_sample_patch,
+    pad_planes_for_patch,
+    sample_planes_coarse_windowed,
+)
 from .ray_marcher import mip_ray_march
 
 # generate_planes (renderer.py:30-48) returns the INVERSES of the three plane
@@ -136,12 +141,48 @@ class ImportanceRenderer:
             offsets = jax.random.uniform(rng_strat, (B, R, S, 1))
         depths_coarse = base + offsets * delta
 
-        def run(depths):
+        # fast sampling paths (ops/plane_sample.py): padded patch-gather for
+        # arbitrary points; windowed tent-matmul for the structured coarse pass
+        Bp, n_planes, Hp_, Wp_, Cp_ = planes.shape
+        planes_flat = planes.reshape(Bp * n_planes, Hp_, Wp_, Cp_)
+        fast = options.get("fast_sampling", True)
+        planes_padded = pad_planes_for_patch(planes_flat) if fast else None
+        res = int(round(R ** 0.5))
+        tile = max(8, res // 8)
+        window = int(options.get("coarse_window", 48))
+        windowed_ok = (
+            fast
+            and res * res == R
+            and res % tile == 0
+            and tile >= 8
+            and window <= min(Hp_, Wp_)
+        )
+
+        def sample_feats(coords_flat):  # [B, M, 3] -> [B, 3, M, C]
+            if not fast:
+                return sample_from_planes(planes, coords_flat, options["box_warp"])
+            scaled = (2.0 / options["box_warp"]) * coords_flat.astype(jnp.float32)
+            proj = project_onto_planes(scaled).reshape(Bp * n_planes, -1, 2)
+            out = grid_sample_patch(planes_padded, proj, Cp_)
+            return out.reshape(Bp, n_planes, -1, Cp_)
+
+        def sample_feats_coarse(coords):  # [B, R, S, 3] -> [B, 3, R*S, C]
+            scaled = (2.0 / options["box_warp"]) * coords.astype(jnp.float32)
+            S_ = coords.shape[2]
+            proj = project_onto_planes(scaled.reshape(Bp, -1, 3))  # [B, 3, R*S, 2]
+            proj = proj.reshape(Bp * n_planes, R, S_, 2)
+            out = sample_planes_coarse_windowed(
+                planes_flat, proj, res=res, tile=tile, window=window
+            )
+            return out.reshape(Bp, n_planes, R * S_, Cp_)
+
+        def run(depths, structured=False):
             n = depths.shape[2]
-            coords = (
-                ray_origins[:, :, None, :] + depths * ray_directions[:, :, None, :]
-            ).reshape(B, R * n, 3)
-            feats = sample_from_planes(planes, coords, options["box_warp"])
+            coords = ray_origins[:, :, None, :] + depths * ray_directions[:, :, None, :]
+            if structured and windowed_ok:
+                feats = sample_feats_coarse(coords)
+            else:
+                feats = sample_feats(coords.reshape(B, R * n, 3))
             out = decoder(feats)
             sigma = out["sigma"]
             if options.get("density_noise", 0) > 0 and not evaluation:
@@ -150,7 +191,7 @@ class ImportanceRenderer:
             densities = sigma.reshape(B, R, n, 1)
             return colors, densities
 
-        colors_coarse, densities_coarse = run(depths_coarse)
+        colors_coarse, densities_coarse = run(depths_coarse, structured=True)
 
         n_imp = options["depth_resolution_importance"]
         if n_imp > 0:

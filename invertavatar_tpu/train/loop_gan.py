@@ -1,0 +1,178 @@
+"""3D-GAN training loop (reference training_avatar_texture/training_loop.py:163-529).
+
+Orchestration: data pipeline → jitted phase steps (lazy-reg specializations) →
+EMA → schedules (blur fade, neural-res 64→128, gpc ramp) → ticks with stats /
+snapshots. Distribution is a single data mesh: batch sharded, params
+replicated; gradient reduction is XLA-inserted (SURVEY §2.3).
+
+Differences from the reference, by design:
+  * optimizer state is checkpointed (the reference restarts Adam moments);
+  * snapshots are orbax pytrees + a json config, not source-embedding pickles;
+  * the neural-res fade quantizes to {initial, …, final} — each value is its
+    own compiled graph, swapped at tick boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.discriminator import DualDiscriminator
+from ..models.triplane import TriPlaneGenerator
+from ..parallel.mesh import make_mesh
+from ..utils.checkpoint import restore_orbax, save_orbax
+from ..utils.stats import Collector, StatsLogger
+from .gan import GANLossConfig, make_gan_train_step, make_schedules, neural_rendering_resolution
+from .state import TrainState, adam_with_lazy_reg, ema_beta, ema_update
+
+
+@dataclasses.dataclass
+class GANTrainConfig:
+    run_dir: str = "runs/gan"
+    total_kimg: int = 25000
+    batch_size: int = 32
+    g_lr: float = 0.0025
+    d_lr: float = 0.002
+    beta2: float = 0.99
+    ema_kimg: float = 10.0
+    ema_rampup: Optional[float] = 0.05
+    kimg_per_tick: int = 4
+    snapshot_ticks: int = 50
+    seed: int = 0
+    loss: GANLossConfig = dataclasses.field(default_factory=GANLossConfig)
+
+
+def train_gan(
+    G: TriPlaneGenerator,
+    D: DualDiscriminator,
+    batch_iter,  # yields {'image' NHWC [-1,1], 'c', 'v': {'uvcoords_image'}, 'z'}
+    cfg: GANTrainConfig,
+    mesh=None,
+    max_steps: Optional[int] = None,
+    resume_dir: Optional[str] = None,
+):
+    mesh = mesh or make_mesh()
+    os.makedirs(cfg.run_dir, exist_ok=True)
+    with open(os.path.join(cfg.run_dir, "training_options.json"), "w") as f:
+        json.dump({k: str(v) for k, v in dataclasses.asdict(cfg).items()}, f, indent=2)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    batch0 = next(batch_iter)
+
+    init_rngs = {
+        "params": rng,
+        "buffers": jax.random.fold_in(rng, 1),
+        "noise": jax.random.fold_in(rng, 2),
+        "ray": jax.random.fold_in(rng, 3),
+    }
+    g_vars = G.init(
+        init_rngs,
+        jnp.asarray(batch0["z"][:1]),
+        jnp.asarray(batch0["c"][:1]),
+        {"uvcoords_image": jnp.asarray(batch0["v"]["uvcoords_image"][:1])},
+    )
+    nrr0 = cfg.loss.neural_rendering_resolution_initial
+    d_vars = D.init(
+        init_rngs,
+        {
+            "image": jnp.asarray(batch0["image"][:1]),
+            "image_raw": jnp.zeros((1, nrr0, nrr0, 3), jnp.float32),
+        },
+        jnp.asarray(batch0["c"][:1]),
+    )
+
+    g_tx = adam_with_lazy_reg(cfg.g_lr, 0.0, cfg.beta2, 1e-8, cfg.loss.g_reg_interval)
+    d_tx = adam_with_lazy_reg(cfg.d_lr, 0.0, cfg.beta2, 1e-8, cfg.loss.d_reg_interval)
+    g_state = TrainState(g_vars["params"], g_tx.init(g_vars["params"]), g_vars.get("buffers", {}))
+    d_state = TrainState(d_vars["params"], d_tx.init(d_vars["params"]), d_vars.get("buffers", {}))
+    ema_params = jax.tree_util.tree_map(lambda x: x, g_state.params)
+    cur_nimg = 0
+
+    if resume_dir:
+        restored = restore_orbax(resume_dir)
+        g_state = TrainState(**restored["g_state"])
+        d_state = TrainState(**restored["d_state"])
+        ema_params = restored["ema_params"]
+        cur_nimg = int(restored["cur_nimg"])
+
+    rep = NamedSharding(mesh, P())
+    shard = lambda x: jax.device_put(
+        x, NamedSharding(mesh, P(*(["data"] + [None] * (np.ndim(x) - 1))))
+    )
+    g_state = jax.device_put(g_state, rep)
+    d_state = jax.device_put(d_state, rep)
+    ema_params = jax.device_put(ema_params, rep)
+
+    # one compiled step per (nrr, do_greg, do_dreg) combination
+    step_cache: Dict[Any, Any] = {}
+
+    def get_step(nrr, do_greg, do_dreg):
+        key = (nrr, do_greg, do_dreg)
+        if key not in step_cache:
+            G_nrr = dataclasses.replace(G, neural_rendering_resolution=nrr)
+            step = make_gan_train_step(G_nrr, D, g_tx, d_tx, cfg.loss, nrr, do_greg, do_dreg)
+            step_cache[key] = jax.jit(step)
+        return step_cache[key]
+
+    collector = Collector()
+    logger = StatsLogger(cfg.run_dir)
+    ema_jit = jax.jit(ema_update)
+
+    step_idx = 0
+    tick_start = time.time()
+    next_tick_nimg = cur_nimg + cfg.kimg_per_tick * 1000
+    while cur_nimg < cfg.total_kimg * 1000:
+        batch = next(batch_iter)
+        batch_dev = jax.tree_util.tree_map(shard, batch)
+        sched = jax.device_put(make_schedules(cfg.loss, cur_nimg), rep)
+        nrr = neural_rendering_resolution(cfg.loss, cur_nimg)
+        do_greg = (step_idx % cfg.loss.g_reg_interval) == 0 and cfg.loss.density_reg > 0
+        do_dreg = (step_idx % cfg.loss.d_reg_interval) == 0 and cfg.loss.r1_gamma > 0
+
+        step_fn = get_step(nrr, do_greg, do_dreg)
+        g_state, d_state, metrics = step_fn(
+            g_state, d_state, batch_dev, sched, jax.random.fold_in(rng, step_idx)
+        )
+        beta = ema_beta(cfg.batch_size, cfg.ema_kimg, cur_nimg, cfg.ema_rampup)
+        ema_params = ema_jit(ema_params, g_state.params, beta)
+
+        cur_nimg += cfg.batch_size
+        step_idx += 1
+        for k, val in metrics.items():
+            collector.report(k, np.asarray(val))
+
+        if cur_nimg >= next_tick_nimg or (max_steps and step_idx >= max_steps):
+            collector.update()
+            dt = time.time() - tick_start
+            spk = dt / max((cur_nimg - (next_tick_nimg - cfg.kimg_per_tick * 1000)) / 1000, 1e-8)
+            print(
+                f"kimg {cur_nimg/1000:.1f}  sec/kimg {spk:.1f}  "
+                + "  ".join(f"{n}={collector.mean(n):.4f}" for n in collector.names())
+            )
+            logger.write(collector, cur_nimg)
+            tick_start = time.time()
+            next_tick_nimg = cur_nimg + cfg.kimg_per_tick * 1000
+            if (cur_nimg // (cfg.kimg_per_tick * 1000)) % cfg.snapshot_ticks == 0 or (
+                max_steps and step_idx >= max_steps
+            ):
+                snap = {
+                    "g_state": g_state._asdict(),
+                    "d_state": d_state._asdict(),
+                    "ema_params": ema_params,
+                    "cur_nimg": np.asarray(cur_nimg),
+                }
+                save_orbax(os.path.join(cfg.run_dir, f"snapshot-{cur_nimg:08d}"), snap)
+        if max_steps and step_idx >= max_steps:
+            break
+    logger.close()
+    return g_state, d_state, ema_params, cur_nimg
