@@ -63,6 +63,39 @@ def load_triplane_from_pkl(path: str, key: str = "G_ema"):
     return G, jax.tree_util.tree_map(np.asarray, variables)
 
 
+def _stub_children(obj):
+    """_modules dict of a stub module / persistent obj."""
+    from .pkl_import import _PersistentObj
+
+    if isinstance(obj, _PersistentObj):
+        meta = obj.meta
+        state = meta.get("state") if isinstance(meta, dict) else getattr(meta, "state", None)
+        return (state or {}).get("_modules", {})
+    d = getattr(obj, "__dict__", {})
+    return d.get("_modules", {}) or {}
+
+
+def load_inversion_from_pkl(path: str, key: str = "G"):
+    """Load a reference inversion checkpoint (FSInvertAvatar.pkl) →
+    (InversionNet, variables). The nested generator's init_kwargs reconstruct
+    the TriPlaneGenerator config."""
+    from ..models.encoders.uvnet import InversionNet
+    from .pkl_import import get_init_kwargs, safe_load_pickle, state_dict_from_stub
+
+    with open(path, "rb") as f:
+        data = safe_load_pickle(f)
+    obj = data[key]
+    sd = state_dict_from_stub(obj)
+    gen_stub = _stub_children(obj).get("generator")
+    gen_kwargs = get_init_kwargs(gen_stub) if gen_stub is not None else {}
+    if not gen_kwargs:
+        raise ValueError("could not recover generator init kwargs from checkpoint")
+    cfg = triplane_config_from_init_kwargs(gen_kwargs)
+    net = InversionNet(generator_cfg=cfg)
+    variables = convert_state_dict(sd)
+    return net, jax.tree_util.tree_map(np.asarray, variables)
+
+
 def save_orbax(path: str, tree) -> None:
     import orbax.checkpoint as ocp
 

@@ -59,6 +59,8 @@ def convert_array(name: str, arr: np.ndarray) -> np.ndarray:
     if leaf == "const" or name.endswith(".const"):
         if arr.ndim == 3:  # [C, H, W] -> [H, W, C]
             return np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))
+    if leaf == "black_uv_bg" and arr.ndim == 4:  # NCHW image buffer -> NHWC
+        return np.ascontiguousarray(np.transpose(arr, (0, 2, 3, 1)))
     return arr
 
 

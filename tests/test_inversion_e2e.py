@@ -1,0 +1,95 @@
+"""End-to-end few-shot inversion parity: reference inversionNet pkl -> JAX InversionNet."""
+
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference repo not mounted")
+
+if os.path.isdir(REF) and REF not in sys.path:
+    sys.path.insert(0, REF)
+
+for mod in ("torchvision", "torchvision.transforms", "turtle"):
+    if mod not in sys.modules:
+        stub = types.ModuleType(mod)
+        if mod == "turtle":
+            stub.update = None
+        sys.modules[mod] = stub
+
+import torch  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tests.test_triplane_parity import CFG, RENDER_KWARGS, SMALL, _camera, _uvcoords  # noqa: E402
+from invertavatar_tpu.utils.checkpoint import load_inversion_from_pkl  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def nets(tmp_path_factory):
+    torch.manual_seed(0)
+    from training_avatar_texture.triplane_v20 import TriPlaneGenerator as RefG
+    from encoder_inversion.models.uvnet import inversionNet as RefInv
+
+    g_t = RefG(**CFG, sr_num_fp16_res=0, mapping_kwargs={"num_layers": 2},
+               rendering_kwargs=dict(RENDER_KWARGS), **SMALL)
+    g_t.neural_rendering_resolution = 64
+    inv_t = RefInv(generator=g_t, encoding_texture=True, encoding_triplane=True)
+    inv_t.eval()
+
+    pkl = tmp_path_factory.mktemp("ckpt") / "fs.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"G": inv_t}, f)
+    net_j, variables = load_inversion_from_pkl(str(pkl))
+    # neural_rendering_resolution isn't in init_kwargs; match manually
+    import dataclasses
+
+    cfg = dict(net_j.generator_cfg)
+    cfg["neural_rendering_resolution"] = 64
+    net_j = dataclasses.replace(net_j, generator_cfg=cfg)
+    return inv_t, net_j, variables
+
+
+def test_encode_parity(nets):
+    inv_t, net_j, variables = nets
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 3, 256, 256).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        ws_ref = inv_t.encode(torch.tensor(img)).numpy()
+    ws = net_j.apply(
+        variables, jnp.asarray(np.transpose(img, (0, 2, 3, 1))),
+        method=lambda m, x: m.encode(x),
+    )
+    np.testing.assert_allclose(np.asarray(ws), ws_ref, atol=2e-3)
+
+
+def test_get_unet_uvinput_parity(nets):
+    """UV-space input assembly (uvnet.py:117-121).
+
+    Full AR-chain parity isn't CPU-testable: the reference U-Net head channels
+    are hardcoded for the flagship generator (512ch@32² …), and its own
+    single-frame `forward` crashes with the shipped GRU encoders
+    (uvnet.py:140-145 mishandles the (list, r_list) return). The chain's
+    components (encoders incl. GRU carry, generator, uvinput) are each
+    parity-tested; this covers the remaining glue.
+    """
+    inv_t, net_j, variables = nets
+    rng = np.random.RandomState(1)
+    uv = np.concatenate(
+        [rng.rand(2, 3, 256, 256), np.clip(rng.rand(2, 3, 256, 256) * 1.4 - 0.2, 0, 1)], axis=1
+    ).astype(np.float32)
+    uv[:, 3:5] = uv[:, 3:5] * 2 - 1
+    delta = rng.randn(2, 3, 256, 256).astype(np.float32)
+    with torch.no_grad():
+        ref = inv_t.get_unet_uvinput(torch.tensor(uv), torch.tensor(delta)).numpy()
+    out = net_j.apply(
+        variables,
+        jnp.asarray(np.transpose(uv, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(delta, (0, 2, 3, 1))),
+        method=lambda m, uv, dx: m.get_unet_uvinput(uv, dx),
+    )
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)), ref, atol=1e-5)
