@@ -28,22 +28,41 @@ from .unet_encoders import TriPlanefeatEncoder, TriPlaneSFTfeatEncoder, adaptive
 
 
 class UnetEncoderPair(nn.Module):
-    """Container mirroring reference `unet_encoder` (uvnet.py:15-24)."""
+    """Container mirroring reference `unet_encoder` (uvnet.py:15-24) /
+    `improved_os_unet_encoder` (uvnet_new.py:13-22)."""
 
     encoding_texture: bool = True
     encoding_triplane: bool = True
+    unet_type: str = "gru"  # 'gru' (few-shot) | 'segformer' (improved one-shot)
 
     def setup(self):
-        self.texture_unet = (
-            TriPlanefeatEncoder(inp_ch=7, res=256, use_gru=True)
-            if self.encoding_texture
-            else None
-        )
-        self.triplane_unet = (
-            TriPlaneSFTfeatEncoder(inp_ch=6, res=256, use_gru=True)
-            if self.encoding_triplane
-            else None
-        )
+        if self.unet_type == "gru":
+            self.texture_unet = (
+                TriPlanefeatEncoder(inp_ch=7, res=256, use_gru=True)
+                if self.encoding_texture
+                else None
+            )
+            self.triplane_unet = (
+                TriPlaneSFTfeatEncoder(inp_ch=6, res=256, use_gru=True)
+                if self.encoding_triplane
+                else None
+            )
+        else:
+            from .transformer import (
+                TriPlanefeatSegformerDecoder,
+                TriPlaneSFTfeatSegformerDecoder,
+            )
+
+            self.texture_unet = (
+                TriPlanefeatSegformerDecoder(inp_ch=7, res=256)
+                if self.encoding_texture
+                else None
+            )
+            self.triplane_unet = (
+                TriPlaneSFTfeatSegformerDecoder(inp_ch=6, res=256)
+                if self.encoding_triplane
+                else None
+            )
 
     def __call__(self, *a, **k):  # container only
         raise NotImplementedError
@@ -54,11 +73,14 @@ class InversionNet(nn.Module):
     n_styles: int = 14
     encoding_texture: bool = True
     encoding_triplane: bool = True
+    unet_type: str = "gru"  # 'gru' = few-shot (uvnet.py) | 'segformer' = one-shot (uvnet_new.py)
 
     def setup(self):
         self.generator = TriPlaneGenerator(**dict(self.generator_cfg))
         self.encoder = Encoder4Editing(n_styles=self.n_styles, inp_ch=3)
-        self.unet_encoder = UnetEncoderPair(self.encoding_texture, self.encoding_triplane)
+        self.unet_encoder = UnetEncoderPair(
+            self.encoding_texture, self.encoding_triplane, unet_type=self.unet_type
+        )
         self.latent_avg = self.variable(
             "buffers", "latent_avg", lambda: jnp.zeros((1, 512), jnp.float32)
         )
@@ -106,11 +128,14 @@ class InversionNet(nn.Module):
         delta_x = e4e_image - x["image"][..., :3]
 
         x_input = self.get_unet_uvinput(x["uv"], delta_x)
-        tex_offsets, _ = self.unet_encoder.texture_unet(x_input[:, None], train=train)
-        texture_feats = [f + o for f, o in zip(tex, tex_offsets)] + list(tex[len(tex_offsets):])
-
         tri_input = jnp.concatenate([x["image"][..., :3], delta_x], axis=-1)
-        sft, _ = self.unet_encoder.triplane_unet(tri_input[:, None], train=train)
+        if self.unet_type == "gru":
+            tex_offsets, _ = self.unet_encoder.texture_unet(x_input[:, None], train=train)
+            sft, _ = self.unet_encoder.triplane_unet(tri_input[:, None], train=train)
+        else:
+            tex_offsets = self.unet_encoder.texture_unet(x_input, train=train)
+            sft = self.unet_encoder.triplane_unet(tri_input, train=train)
+        texture_feats = [f + o for f, o in zip(tex, tex_offsets)] + list(tex[len(tex_offsets):])
         static_feats = self.generator.backbone.synthesis(
             ws, return_list=True, feat_conditions=sft, noise_mode="const"
         )
