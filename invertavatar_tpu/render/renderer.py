@@ -150,8 +150,13 @@ class ImportanceRenderer:
         res = int(round(R ** 0.5))
         tile = max(8, res // 8)
         window = int(options.get("coarse_window", 48))
+        # The windowed tent-matmul path is exact but loses to the patch gather
+        # under XLA (per-s lax.map + regrouping transposes dominate); it maps
+        # naturally onto a Pallas kernel (block DMA + MXU contraction) and is
+        # kept behind options['windowed_coarse'] for that follow-up.
         windowed_ok = (
             fast
+            and options.get("windowed_coarse", False)
             and res * res == R
             and res % tile == 0
             and tile >= 8
