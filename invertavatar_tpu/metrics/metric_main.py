@@ -1,0 +1,81 @@
+"""Metric registry + dispatcher (reference metrics/metric_main.py:29-82)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict
+
+_metric_fns: Dict[str, Callable] = {}
+
+
+def register_metric(fn: Callable) -> Callable:
+    assert fn.__name__ not in _metric_fns
+    _metric_fns[fn.__name__] = fn
+    return fn
+
+
+def list_metrics():
+    return sorted(_metric_fns)
+
+
+def calc_metric(metric: str, run_dir: str | None = None, **kwargs) -> Dict:
+    assert metric in _metric_fns, f"unknown metric {metric}; have {list_metrics()}"
+    t0 = time.time()
+    results = _metric_fns[metric](**kwargs)
+    entry = {
+        "results": results,
+        "metric": metric,
+        "total_time": time.time() - t0,
+        "timestamp": time.time(),
+    }
+    if run_dir is not None:
+        os.makedirs(run_dir, exist_ok=True)
+        with open(os.path.join(run_dir, f"metric-{metric}.jsonl"), "a") as f:
+            f.write(json.dumps(entry) + "\n")
+    return entry
+
+
+@register_metric
+def fid50k_full(dataset=None, sample_fn=None, detector_fn=None, max_real=None,
+                num_gen=50000, cache_dir=None):
+    """FID between full real set and 50k vert-conditioned samples
+    (reference frechet_inception_distance.py:18 + training_loop.py:494-503)."""
+    from .fid import compute_fid, dataset_feature_stats, generator_feature_stats
+
+    real = dataset_feature_stats(dataset, detector_fn, max_items=max_real, cache_dir=cache_dir)
+    gen = generator_feature_stats(sample_fn, detector_fn, num_items=num_gen)
+    return {"fid50k_full": compute_fid(real, gen)}
+
+
+@register_metric
+def fid2k(dataset=None, sample_fn=None, detector_fn=None, cache_dir=None):
+    """Small-sample FID for quick eval ticks."""
+    from .fid import compute_fid, dataset_feature_stats, generator_feature_stats
+
+    real = dataset_feature_stats(dataset, detector_fn, max_items=2000, cache_dir=cache_dir)
+    gen = generator_feature_stats(sample_fn, detector_fn, num_items=2000)
+    return {"fid2k": compute_fid(real, gen)}
+
+
+@register_metric
+def kid50k_full(dataset=None, sample_fn=None, detector_fn=None, max_real=1000000,
+                num_gen=50000):
+    from .fid import compute_kid, to_uint8
+    import numpy as np
+
+    n_real = min(len(dataset), max_real)
+    real_feats = np.concatenate(
+        [detector_fn(np.stack([dataset[i]["image"] for i in range(s, min(s + 16, n_real))]))
+         for s in range(0, n_real, 16)]
+    )
+    rng = np.random.RandomState(0)
+    gen_feats = []
+    got = 0
+    while got < num_gen:
+        imgs = sample_fn(8, rng)
+        gen_feats.append(detector_fn(to_uint8(imgs)))
+        got += imgs.shape[0]
+    gen_feats = np.concatenate(gen_feats)[:num_gen]
+    return {"kid50k_full": compute_kid(real_feats, gen_feats)}

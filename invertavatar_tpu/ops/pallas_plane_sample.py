@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: windowed tri-plane bilinear sampling.
+
+The volume renderer's dominant cost is the tri-plane feature lookup — a
+bilinear gather of ~786k points per pass. XLA's gather engine retires one
+small slice per ~7 ns (≈75 ms/pass); the XLA-composed windowed rewrite drowns
+in regrouping transposes. This kernel does it the TPU way:
+
+  grid step = one (ray-tile × depth-stratum) block of P points whose plane
+  footprint fits a WIN×WIN window (ray divergence over a 16×16-pixel tile at
+  the reference FOV spans <28 texels; one stratum spans <8 texels of depth):
+
+    1. async-copy the window HBM→VMEM (one big DMA, no per-point traffic),
+    2. build bilinear "tent" weight matrices from iota (VPU),
+    3. contract on the MXU with the plane stored row-flattened [H, W·C]:
+         tmp[p, x·C+c] = Σ_y oh_y[p,y] · win[y, x·C+c]
+         out[p, c]     = Σ_j (oh_x_expanded[p,j] · tmp[p,j]) · S[j,c]
+       where oh_x_expanded repeats each x tent weight C times along lanes and
+       S is the constant lane→channel selector — every op is a 2D matmul or
+       elementwise, which Mosaic lowers without layout casts.
+
+  Out-of-plane taps contribute zero (zeros-padding semantics). Exactness
+  requires the footprint to fit the window — guaranteed for the structured
+  coarse pass; callers opting in for importance samples must size WIN for the
+  worst per-stratum depth spread.
+
+Double-buffered: the window DMA for step i+1 overlaps step i's contraction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    ys_ref,  # scalar prefetch [G] int32 window row starts
+    xsc_ref,  # scalar prefetch [G] int32 window col starts × C (flattened cols)
+    plane_ref,  # [H, W*C] HBM (row-flattened)
+    gy_ref,  # [1, 1, P] fp32 absolute pixel rows
+    gx_ref,  # [1, 1, P] fp32 absolute pixel cols
+    out_ref,  # [1, P, C]
+    win0,  # scratch [WIN, WIN*C]
+    win1,  # scratch [WIN, WIN*C]
+    sems,  # DMA semaphores (2,)
+    *,
+    win: int,
+    P: int,
+    C: int,
+    H: int,
+    W: int,
+):
+    g = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(g, 2)
+    nxt = jax.lax.rem(g + 1, 2)
+
+    def dma(step, dst, sem_slot):
+        return pltpu.make_async_copy(
+            plane_ref.at[pl.ds(ys_ref[step], win), pl.ds(xsc_ref[step], win * C)],
+            dst,
+            sems.at[sem_slot],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        dma(0, win0, 0).start()
+
+    @pl.when((g + 1 < n) & (nxt == 0))
+    def _():
+        dma(g + 1, win0, 0).start()
+
+    @pl.when((g + 1 < n) & (nxt == 1))
+    def _():
+        dma(g + 1, win1, 1).start()
+
+    ys_f = ys_ref[g].astype(jnp.float32)
+    xs_f = (xsc_ref[g] // C).astype(jnp.float32)
+    ly = gy_ref[0, 0, :] - ys_f  # [P] window-local continuous coords
+    lx = gx_ref[0, 0, :] - xs_f
+
+    # y tent weights [P, win], masked to the plane
+    iy = jax.lax.broadcasted_iota(jnp.int32, (P, win), 1).astype(jnp.float32)
+    ohy = jnp.maximum(0.0, 1.0 - jnp.abs(iy - ly[:, None]))
+    ay = iy + ys_f
+    ohy = ohy * ((ay >= 0.0) & (ay < H)).astype(jnp.float32)
+
+    # x tent weights expanded along lanes [P, win*C]: lane j covers (x=j//C, c=j%C)
+    jx = (jax.lax.broadcasted_iota(jnp.int32, (P, win * C), 1) // C).astype(jnp.float32)
+    ohx = jnp.maximum(0.0, 1.0 - jnp.abs(jx - lx[:, None]))
+    axp = jx + xs_f
+    ohx = ohx * ((axp >= 0.0) & (axp < W)).astype(jnp.float32)
+
+    # lane -> channel selector [win*C, C]
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (win * C, C), 0) % C
+    ch = jax.lax.broadcasted_iota(jnp.int32, (win * C, C), 1)
+    sel = (lane_c == ch).astype(jnp.float32)
+
+    def compute(dst, sem_slot):
+        dma(g, dst, sem_slot).wait()
+        blk = dst[:]  # [win, win*C]
+        tmp = jax.lax.dot_general(
+            ohy, blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [P, win*C]
+        out_ref[0, :, :] = jax.lax.dot_general(
+            tmp * ohx, sel,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(slot == 0)
+    def _():
+        compute(win0, 0)
+
+    @pl.when(slot == 1)
+    def _():
+        compute(win1, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("win", "C", "H", "W"))
+def _sample_one_plane(plane2d, ys, xsc, gy, gx, win: int, C: int, H: int, W: int):
+    G, P = gy.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # plane stays in HBM
+            pl.BlockSpec((1, 1, P), lambda g, ys, xsc: (g, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda g, ys, xsc: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, P, C), lambda g, ys, xsc: (g, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((win, win * C), jnp.float32),
+            pltpu.VMEM((win, win * C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel, win=win, P=P, C=C, H=H, W=W)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, P, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ys, xsc, plane2d, gy.reshape(G, 1, P), gx.reshape(G, 1, P))
+
+
+def sample_planes_windowed_pallas(
+    planes: jnp.ndarray,  # [N, H, W, C]
+    grid: jnp.ndarray,  # [N, R, S, 2] plane-space xy in [-1, 1], rays row-major
+    res: int,
+    tile: int = 16,
+    window: int = 48,
+) -> jnp.ndarray:
+    """Windowed bilinear sampling for structured points -> [N, R, S, C]."""
+    N, H, W, C = planes.shape
+    R, S = grid.shape[1], grid.shape[2]
+    assert R == res * res and res % tile == 0
+    t_side = res // tile
+    T = t_side * t_side
+    P = tile * tile
+
+    g = grid.reshape(N, t_side, tile, t_side, tile, S, 2)
+    g = jnp.transpose(g, (0, 1, 3, 5, 2, 4, 6)).reshape(N, T, S, P, 2)  # [N,T,S,P,2]
+    gx = (g[..., 0].astype(jnp.float32) + 1.0) * (W * 0.5) - 0.5
+    gy = (g[..., 1].astype(jnp.float32) + 1.0) * (H * 0.5) - 0.5
+
+    xs = jnp.clip(jnp.floor(jnp.min(gx, axis=-1)).astype(jnp.int32) - 1, 0, W - window)
+    ys = jnp.clip(jnp.floor(jnp.min(gy, axis=-1)).astype(jnp.int32) - 1, 0, H - window)
+
+    outs = []
+    for n in range(N):
+        outs.append(
+            _sample_one_plane(
+                planes[n].astype(jnp.float32).reshape(H, W * C),
+                ys[n].reshape(-1),
+                (xs[n] * C).reshape(-1),
+                gy[n].reshape(T * S, P),
+                gx[n].reshape(T * S, P),
+                win=window,
+                C=C,
+                H=H,
+                W=W,
+            )
+        )
+    out = jnp.stack(outs)  # [N, T*S, P, C]
+    out = out.reshape(N, t_side, t_side, S, tile, tile, C)
+    out = jnp.transpose(out, (0, 1, 4, 2, 5, 3, 6)).reshape(N, R, S, C)
+    return out
