@@ -150,6 +150,62 @@ class InversionNet(nn.Module):
         out["e4e_image"] = e4e_image
         return out
 
+    # ------------------------------------------------------------ train rollout
+    def run_seq(self, vid_frames, vid_c, vid_v, vid_uv, ws=None, only_image: bool = False,
+                train: bool = False):
+        """Parallel recurrent rollout for training (video_loss.py:176-234 run_G_seq).
+
+        vid_frames/[uv]: [B, T, ...]; the e4e branch runs under stop_gradient,
+        the U-Net offsets and the final render carry gradients.
+        """
+        sg = jax.lax.stop_gradient
+        B, T = vid_c.shape[:2]
+        if ws is None:
+            ws = self.encode(vid_frames[:, 0], train=train)
+        ws = sg(ws)
+        tex = [sg(f) for f in self.generator.texture_backbone.synthesis(ws, return_list=True, noise_mode="const")]
+        static = [sg(f) for f in self.generator.backbone.synthesis(ws, return_list=True, noise_mode="const")]
+
+        def rep(feats):
+            return [jnp.repeat(f, T, axis=0) for f in feats]
+
+        vid_ws = jnp.repeat(ws, T, axis=0)
+        flat_c = vid_c.reshape(B * T, -1)
+        flat_v = {"uvcoords_image": vid_v["uvcoords_image"].reshape(B * T, *vid_v["uvcoords_image"].shape[2:])}
+        e4e_img = sg(
+            self.generator.synthesis_withTexture(
+                vid_ws, rep(tex), flat_c, flat_v, static_feats=rep(static), noise_mode="const"
+            )["image"]
+        )
+        frames_flat = vid_frames.reshape(B * T, *vid_frames.shape[2:])
+        if e4e_img.shape[1] != frames_flat.shape[1]:
+            e4e_img = resize_bilinear(e4e_img, frames_flat.shape[1:3], antialias=True)
+        delta = e4e_img - frames_flat[..., :3]
+
+        uv_flat = vid_uv.reshape(B * T, *vid_uv.shape[2:])
+        uv_input = self.get_unet_uvinput(uv_flat, delta).reshape(B, T, 256, 256, 7)
+        tri_input = jnp.concatenate([frames_flat[..., :3], delta], axis=-1).reshape(B, T, *frames_flat.shape[1:3], 6)
+
+        if self.unet_type == "gru":
+            tex_offsets, _ = self.unet_encoder.texture_unet(uv_input, train=train)
+            sft, _ = self.unet_encoder.triplane_unet(tri_input, train=train)
+        else:
+            tex_offsets = self.unet_encoder.texture_unet(uv_input.reshape(B * T, 256, 256, 7), train=train)
+            sft = self.unet_encoder.triplane_unet(tri_input.reshape(B * T, *tri_input.shape[2:]), train=train)
+        texture_feats = [f + o for f, o in zip(tex, tex_offsets)] + list(tex[len(tex_offsets):])
+        static_feats = self.generator.backbone.synthesis(
+            ws, return_list=True, feat_conditions=sft, noise_mode="const"
+        )
+
+        out = self.generator.synthesis_withTexture(
+            vid_ws, rep(texture_feats), flat_c, flat_v,
+            static_feats=rep(static_feats), noise_mode="const",
+        )
+        if only_image:
+            return {"image": out["image"], "e4e_image": e4e_img}
+        out["e4e_image"] = e4e_img
+        return out
+
     # ------------------------------------------------------------- streaming
     def ar_forward(self, x: Dict, vid_c, vid_v, ws, r_list, e4e_results: Optional[Dict] = None,
                    return_fake: bool = False):

@@ -1,0 +1,201 @@
+"""Inversion-encoder training drivers (reference encoder_inversion/train.py:79-90
+dispatch → training_loop.py (e4e) / training_loop_unet_interval.py (one-shot) /
+training_loop_video.py (few-shot)).
+
+Stage structure:
+  * e4e: train Encoder4Editing against the frozen generator with Ireal/Igen
+    (+ latent W discriminator WDmain/WDreg every `wd_reg_interval`).
+  * one-shot / few-shot: train the U-Net offset encoders' decoders (IR-SE
+    trunks frozen in eval, reference training_loop_video.py:284-303) with the
+    Ireal/Igen phase machine over `run_seq` rollouts.
+
+Freezing is expressed with optax.masked (the optimizer-mask idiom replacing
+torch requires_grad toggles). All steps jit under the data mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .inversion import (
+    InversionLossWeights,
+    e4e_igen_loss,
+    e4e_ireal_loss,
+    fewshot_ireal_loss,
+    wd_losses,
+)
+from .state import TrainState
+
+
+def mask_params(params, predicate) -> Any:
+    """Boolean pytree matching `params`; predicate gets the '/'-joined path."""
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        return predicate("/".join(path))
+
+    return walk(params, ())
+
+
+def e4e_trainable(path: str) -> bool:
+    return path.startswith("encoder/")
+
+
+def unet_decoder_trainable(path: str) -> bool:
+    """Few-shot stage: U-Net decoder heads + GRUs train; trunks/generator/e4e frozen
+    (training_loop_video.py:284-303)."""
+    if not path.startswith("unet_encoder/"):
+        return False
+    sub = path.split("/", 2)[-1]
+    frozen_prefixes = ("input_layer", "body")
+    return not sub.startswith(frozen_prefixes)
+
+
+def masked_adam(lr: float, predicate, b1=0.9, b2=0.999):
+    def make_mask(params):
+        return mask_params(params, predicate)
+
+    return optax.masked(optax.adam(lr, b1=b1, b2=b2), make_mask)
+
+
+def make_e4e_train_step(
+    E4E_module,  # Encoder4Editing-bearing module with .encode (InversionNet works)
+    wd_module,  # LatentCodesDiscriminator
+    lpips_fn: Callable,
+    id_fn: Optional[Callable],
+    tx: optax.GradientTransformation,
+    wd_tx: optax.GradientTransformation,
+    weights: InversionLossWeights,
+    wd_reg_interval: int = 16,
+):
+    """One step = Ireal + Igen (+ WD phases when w_discriminator > 0)."""
+
+    def step(state: TrainState, wd_state: TrainState, batch: Dict, rng, do_wd_reg: bool = False):
+        rngs = {"noise": jax.random.fold_in(rng, 0), "ray": jax.random.fold_in(rng, 1)}
+
+        def apply_with(params, method, *args, **kw):
+            return E4E_module.apply(
+                {"params": params, **{k: v for k, v in state.buffers.items()}},
+                *args, method=method, rngs=rngs, **kw,
+            )
+
+        latent_avg = state.buffers["buffers"]["latent_avg"]
+
+        def wd_apply(w):
+            return wd_module.apply({"params": wd_state.params}, w)
+
+        def loss_fn(params):
+            variables = {"params": params, **state.buffers}
+
+            def encode(img):
+                return E4E_module.apply(variables, img, method=lambda m, x: m.encode(x), rngs=rngs)
+
+            def gen_mapping(z, c, truncation_psi=1.0):
+                return E4E_module.apply(
+                    variables, z, c,
+                    method=lambda m, z, c: m.generator.mapping(z, c, truncation_psi=truncation_psi),
+                    rngs=rngs,
+                )
+
+            def gen_synthesis(ws, c, v):
+                return E4E_module.apply(
+                    variables, ws, c, v,
+                    method=lambda m, ws, c, v: m.generator.synthesis_withTexture(
+                        ws,
+                        m.generator.texture_backbone.synthesis(ws, return_list=True, noise_mode="const"),
+                        c, v,
+                        static_feats=m.generator.backbone.synthesis(ws, return_list=True, noise_mode="const"),
+                        noise_mode="const",
+                    ),
+                    rngs=rngs,
+                )
+
+            total_r, aux_r = e4e_ireal_loss(
+                encode, gen_synthesis, wd_apply if weights.w_discriminator > 0 else None,
+                lpips_fn, id_fn, weights, latent_avg,
+                batch["image"], batch["c"], batch["v"],
+            )
+            total_g, aux_g = e4e_igen_loss(
+                encode, gen_mapping, gen_synthesis,
+                wd_apply if weights.w_discriminator > 0 else None,
+                lpips_fn, weights, latent_avg,
+                batch["z"], batch["c"], batch["v"],
+            )
+            aux = {f"Ireal/{k}": v for k, v in aux_r.items()}
+            aux.update({f"Igen/{k}": v for k, v in aux_g.items()})
+            return total_r + total_g, aux
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.buffers)
+
+        new_wd_state = wd_state
+        if weights.w_discriminator > 0:
+            variables = {"params": params, **state.buffers}
+            ws_fake = jax.lax.stop_gradient(
+                E4E_module.apply(variables, batch["image"], method=lambda m, x: m.encode(x), rngs=rngs)
+            )
+            ws_real = jax.lax.stop_gradient(
+                E4E_module.apply(
+                    variables, batch["z"], batch["c"],
+                    method=lambda m, z, c: m.generator.mapping(z, c, truncation_psi=0.8),
+                    rngs=rngs,
+                )
+            )
+
+            def wd_loss_fn(wd_params):
+                apply = lambda w: wd_module.apply({"params": wd_params}, w)
+                return wd_losses(apply, ws_fake, ws_real, weights, do_wd_reg)
+
+            (_, wd_aux), wd_grads = jax.value_and_grad(wd_loss_fn, has_aux=True)(wd_state.params)
+            wd_updates, wd_opt = wd_tx.update(wd_grads, wd_state.opt_state, wd_state.params)
+            new_wd_state = TrainState(
+                optax.apply_updates(wd_state.params, wd_updates), wd_opt, wd_state.buffers
+            )
+            aux.update(wd_aux)
+        return new_state, new_wd_state, aux
+
+    return step
+
+
+def make_fewshot_train_step(
+    I_module,  # InversionNet
+    lpips_fn: Callable,
+    tx: optax.GradientTransformation,
+    weights: InversionLossWeights,
+):
+    """One step = Ireal on a real clip + Igen on a synthetic clip
+    (training_loop_video.py:404-429 alternation collapsed into one update)."""
+
+    def step(state: TrainState, batch: Dict, rng):
+        rngs = {"noise": jax.random.fold_in(rng, 0), "ray": jax.random.fold_in(rng, 1)}
+
+        def loss_fn(params):
+            variables = {"params": params, **state.buffers}
+
+            def run_seq(frames, c, v, uv, ws):
+                return I_module.apply(
+                    variables, frames, c, v, uv, ws,
+                    method=lambda m, f, c, v, uv, ws: m.run_seq(f, c, v, uv, ws=ws),
+                    rngs=rngs,
+                )
+
+            total, aux = fewshot_ireal_loss(
+                lambda f, c, v, uv, ws: run_seq(f, c, {"uvcoords_image": v["uvcoords_image"]}, uv, ws),
+                lpips_fn, weights,
+                batch["image"], batch["c"], batch["v"], batch["uv"],
+            )
+            return total, {f"Ireal/{k}": v for k, v in aux.items()}
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        return TrainState(optax.apply_updates(state.params, updates), opt_state, state.buffers), aux
+
+    return step
