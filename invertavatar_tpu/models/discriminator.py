@@ -242,6 +242,28 @@ class DualDiscriminator(_DiscriminatorCore):
         return self._score(x, c, force_fp32=force_fp32)
 
 
+class SingleDiscriminator(_DiscriminatorCore):
+    """Scores only the 512² RGB (reference dual_discriminator.py:22-79)."""
+
+    def __call__(self, img: Dict[str, jnp.ndarray], c, force_fp32: bool = False):
+        return self._score(img["image"], c, force_fp32=force_fp32)
+
+
+class DummyDualDiscriminator(_DiscriminatorCore):
+    """Dual discriminator whose raw branch fades out over training
+    (reference dual_discriminator.py:187-252). `raw_fade` is passed in rather
+    than mutated module state (jit-friendly)."""
+
+    def __call__(self, img: Dict[str, jnp.ndarray], c, raw_fade: float = 1.0,
+                 force_fp32: bool = False):
+        image = img["image"]
+        image_raw = resize_bilinear(
+            img["image_raw"], (image.shape[1], image.shape[2]), antialias=True
+        ) * raw_fade
+        x = jnp.concatenate([image, image_raw], axis=-1)
+        return self._score(x, c, force_fp32=force_fp32)
+
+
 def filtered_resizing(image, size: int, filter_mode: str = "antialiased"):
     """Reference dual_discriminator.py:87-103 resize modes (NHWC)."""
     if filter_mode == "antialiased":

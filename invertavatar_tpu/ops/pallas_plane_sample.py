@@ -47,83 +47,66 @@ def _kernel(
     win1,  # scratch [WIN, WIN*C]
     sems,  # DMA semaphores (2,)
     *,
-    win: int,
+    win_r: int,
+    win_c: int,
     P: int,
     C: int,
     H: int,
     W: int,
 ):
     g = pl.program_id(0)
-    n = pl.num_programs(0)
-    slot = jax.lax.rem(g, 2)
-    nxt = jax.lax.rem(g + 1, 2)
 
     def dma(step, dst, sem_slot):
+        # starts are pre-aligned to the (8, 128) HBM tiling by the caller
         return pltpu.make_async_copy(
-            plane_ref.at[pl.ds(ys_ref[step], win), pl.ds(xsc_ref[step], win * C)],
+            plane_ref.at[pl.ds(ys_ref[step], win_r), pl.ds(xsc_ref[step], win_c * C)],
             dst,
             sems.at[sem_slot],
         )
 
-    @pl.when(g == 0)
-    def _():
-        dma(0, win0, 0).start()
-
-    @pl.when((g + 1 < n) & (nxt == 0))
-    def _():
-        dma(g + 1, win0, 0).start()
-
-    @pl.when((g + 1 < n) & (nxt == 1))
-    def _():
-        dma(g + 1, win1, 1).start()
+    # synchronous window fetch (the contraction dominates; pipelining the DMA
+    # is a follow-up once Mosaic is happy with the simple form)
+    cp = dma(g, win0, 0)
+    cp.start()
 
     ys_f = ys_ref[g].astype(jnp.float32)
     xs_f = (xsc_ref[g] // C).astype(jnp.float32)
     ly = gy_ref[0, 0, :] - ys_f  # [P] window-local continuous coords
     lx = gx_ref[0, 0, :] - xs_f
 
-    # y tent weights [P, win], masked to the plane
-    iy = jax.lax.broadcasted_iota(jnp.int32, (P, win), 1).astype(jnp.float32)
+    # y tent weights [P, win_r], masked to the plane
+    iy = jax.lax.broadcasted_iota(jnp.int32, (P, win_r), 1).astype(jnp.float32)
     ohy = jnp.maximum(0.0, 1.0 - jnp.abs(iy - ly[:, None]))
     ay = iy + ys_f
     ohy = ohy * ((ay >= 0.0) & (ay < H)).astype(jnp.float32)
 
-    # x tent weights expanded along lanes [P, win*C]: lane j covers (x=j//C, c=j%C)
-    jx = (jax.lax.broadcasted_iota(jnp.int32, (P, win * C), 1) // C).astype(jnp.float32)
+    # x tent weights expanded along lanes [P, win_c*C]: lane j covers (x=j//C, c=j%C)
+    jx = (jax.lax.broadcasted_iota(jnp.int32, (P, win_c * C), 1) // C).astype(jnp.float32)
     ohx = jnp.maximum(0.0, 1.0 - jnp.abs(jx - lx[:, None]))
     axp = jx + xs_f
     ohx = ohx * ((axp >= 0.0) & (axp < W)).astype(jnp.float32)
 
-    # lane -> channel selector [win*C, C]
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, (win * C, C), 0) % C
-    ch = jax.lax.broadcasted_iota(jnp.int32, (win * C, C), 1)
+    # lane -> channel selector [win_c*C, C]
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (win_c * C, C), 0) % C
+    ch = jax.lax.broadcasted_iota(jnp.int32, (win_c * C, C), 1)
     sel = (lane_c == ch).astype(jnp.float32)
 
-    def compute(dst, sem_slot):
-        dma(g, dst, sem_slot).wait()
-        blk = dst[:]  # [win, win*C]
-        tmp = jax.lax.dot_general(
-            ohy, blk,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [P, win*C]
-        out_ref[0, :, :] = jax.lax.dot_general(
-            tmp * ohx, sel,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    @pl.when(slot == 0)
-    def _():
-        compute(win0, 0)
-
-    @pl.when(slot == 1)
-    def _():
-        compute(win1, 1)
+    cp.wait()
+    blk = win0[:]  # [win_r, win_c*C]
+    tmp = jax.lax.dot_general(
+        ohy, blk,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [P, win*C]
+    out_ref[0, :, :] = jax.lax.dot_general(
+        tmp * ohx, sel,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("win", "C", "H", "W"))
-def _sample_one_plane(plane2d, ys, xsc, gy, gx, win: int, C: int, H: int, W: int):
+@functools.partial(jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W"))
+def _sample_one_plane(plane2d, ys, xsc, gy, gx, win_r: int, win_c: int, C: int, H: int, W: int):
     G, P = gy.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -135,12 +118,12 @@ def _sample_one_plane(plane2d, ys, xsc, gy, gx, win: int, C: int, H: int, W: int
         ],
         out_specs=pl.BlockSpec((1, P, C), lambda g, ys, xsc: (g, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((win, win * C), jnp.float32),
-            pltpu.VMEM((win, win * C), jnp.float32),
+            pltpu.VMEM((win_r, win_c * C), jnp.float32),
+            pltpu.VMEM((win_r, win_c * C), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel, win=win, P=P, C=C, H=H, W=W)
+    kernel = functools.partial(_kernel, win_r=win_r, win_c=win_c, P=P, C=C, H=H, W=W)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -169,8 +152,15 @@ def sample_planes_windowed_pallas(
     gx = (g[..., 0].astype(jnp.float32) + 1.0) * (W * 0.5) - 0.5
     gy = (g[..., 1].astype(jnp.float32) + 1.0) * (H * 0.5) - 0.5
 
-    xs = jnp.clip(jnp.floor(jnp.min(gx, axis=-1)).astype(jnp.int32) - 1, 0, W - window)
-    ys = jnp.clip(jnp.floor(jnp.min(gy, axis=-1)).astype(jnp.int32) - 1, 0, H - window)
+    # HBM tiling requires DMA starts aligned to (8 rows, 128 lanes); align the
+    # window starts down and widen the window to cover the slack.
+    xalign = max(1, 128 // C)
+    win_r = window + 8
+    win_c = window + xalign
+    xs = jnp.clip(jnp.floor(jnp.min(gx, axis=-1)).astype(jnp.int32) - 1, 0, max(W - win_c, 0))
+    ys = jnp.clip(jnp.floor(jnp.min(gy, axis=-1)).astype(jnp.int32) - 1, 0, max(H - win_r, 0))
+    ys = (ys // 8) * 8
+    xs = (xs // xalign) * xalign
 
     outs = []
     for n in range(N):
@@ -181,7 +171,8 @@ def sample_planes_windowed_pallas(
                 (xs[n] * C).reshape(-1),
                 gy[n].reshape(T * S, P),
                 gx[n].reshape(T * S, P),
-                win=window,
+                win_r=win_r,
+                win_c=win_c,
                 C=C,
                 H=H,
                 W=W,

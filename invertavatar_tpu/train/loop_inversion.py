@@ -165,6 +165,138 @@ def make_e4e_train_step(
     return step
 
 
+@dataclasses.dataclass
+class InversionTrainConfig:
+    run_dir: str = "runs/inversion"
+    total_kimg: int = 5000
+    batch_size: int = 8
+    lr: float = 1e-4
+    wd_lr: float = 2e-5
+    kimg_per_tick: int = 4
+    snapshot_ticks: int = 20
+    wd_reg_interval: int = 16
+    seed: int = 0
+    weights: InversionLossWeights = dataclasses.field(default_factory=InversionLossWeights)
+
+
+def train_e4e(
+    net,  # InversionNet (or E4E-compatible module)
+    variables,  # {'params', 'buffers', ...} with the frozen generator grafted in
+    wd_module,
+    batch_iter,  # yields {'image' NHWC [-1,1] 512², 'c', 'v': {...}, 'z'}
+    cfg: InversionTrainConfig,
+    lpips_fn: Callable,
+    id_fn: Optional[Callable] = None,
+    max_steps: Optional[int] = None,
+):
+    """e4e-stage driver (reference encoder_inversion/training_loop.py:129-...)."""
+    import os
+    import time
+
+    import numpy as np
+
+    from ..utils.checkpoint import save_orbax
+    from ..utils.stats import Collector, StatsLogger
+
+    os.makedirs(cfg.run_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    tx = masked_adam(cfg.lr, e4e_trainable)
+    buffers = {k: v for k, v in variables.items() if k != "params"}
+    state = TrainState(variables["params"], tx.init(variables["params"]), buffers)
+
+    wd_vars = wd_module.init(jax.random.PRNGKey(cfg.seed + 1), jnp.zeros((1, 512)))
+    wd_tx = optax.adam(cfg.wd_lr)
+    wd_state = TrainState(wd_vars["params"], wd_tx.init(wd_vars["params"]), {})
+
+    step_fn = jax.jit(
+        make_e4e_train_step(
+            net, wd_module, lpips_fn, id_fn, tx, wd_tx, cfg.weights, cfg.wd_reg_interval
+        ),
+        static_argnames=("do_wd_reg",),
+    )
+
+    collector = Collector()
+    logger = StatsLogger(cfg.run_dir)
+    cur_nimg = 0
+    step_idx = 0
+    next_tick = cfg.kimg_per_tick * 1000
+    t0 = time.time()
+    while cur_nimg < cfg.total_kimg * 1000:
+        batch = next(batch_iter)
+        state, wd_state, aux = step_fn(
+            state, wd_state, batch, jax.random.fold_in(rng, step_idx),
+            do_wd_reg=(step_idx % cfg.wd_reg_interval == 0 and cfg.weights.w_discriminator > 0),
+        )
+        cur_nimg += cfg.batch_size
+        step_idx += 1
+        for k, v in aux.items():
+            collector.report(k, np.asarray(v))
+        if cur_nimg >= next_tick or (max_steps and step_idx >= max_steps):
+            collector.update()
+            print(
+                f"kimg {cur_nimg/1000:.1f} ({time.time()-t0:.0f}s) "
+                + " ".join(f"{n}={collector.mean(n):.4f}" for n in collector.names())
+            )
+            logger.write(collector, cur_nimg)
+            next_tick = cur_nimg + cfg.kimg_per_tick * 1000
+            if (cur_nimg // (cfg.kimg_per_tick * 1000)) % cfg.snapshot_ticks == 0 or (
+                max_steps and step_idx >= max_steps
+            ):
+                save_orbax(
+                    os.path.join(cfg.run_dir, f"snapshot-{cur_nimg:08d}"),
+                    {"params": state.params, "wd_params": wd_state.params, "cur_nimg": np.asarray(cur_nimg)},
+                )
+        if max_steps and step_idx >= max_steps:
+            break
+    logger.close()
+    return state, wd_state
+
+
+def train_fewshot(
+    net,  # InversionNet
+    variables,
+    clip_iter,  # yields {'image' [B,T,...], 'c' [B,T,...], 'v', 'uv'}
+    cfg: InversionTrainConfig,
+    lpips_fn: Callable,
+    max_steps: Optional[int] = None,
+):
+    """Few-shot-stage driver (reference training_loop_video.py:129-...)."""
+    import os
+    import time
+
+    import numpy as np
+
+    from ..utils.checkpoint import save_orbax
+    from ..utils.stats import Collector, StatsLogger
+
+    os.makedirs(cfg.run_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(cfg.seed)
+    tx = masked_adam(cfg.lr, unet_decoder_trainable)
+    buffers = {k: v for k, v in variables.items() if k != "params"}
+    state = TrainState(variables["params"], tx.init(variables["params"]), buffers)
+    step_fn = jax.jit(make_fewshot_train_step(net, lpips_fn, tx, cfg.weights))
+
+    collector = Collector()
+    logger = StatsLogger(cfg.run_dir)
+    cur_nimg = 0
+    step_idx = 0
+    while (max_steps is None or step_idx < max_steps) and cur_nimg < cfg.total_kimg * 1000:
+        batch = next(clip_iter)
+        state, aux = step_fn(state, batch, jax.random.fold_in(rng, step_idx))
+        cur_nimg += cfg.batch_size
+        step_idx += 1
+        for k, v in aux.items():
+            collector.report(k, np.asarray(v))
+        if step_idx % 50 == 0 or (max_steps and step_idx >= max_steps):
+            collector.update()
+            print(" ".join(f"{n}={collector.mean(n):.4f}" for n in collector.names()))
+            logger.write(collector, cur_nimg)
+    save_orbax(os.path.join(cfg.run_dir, "snapshot-final"), {"params": state.params})
+    logger.close()
+    return state
+
+
 def make_fewshot_train_step(
     I_module,  # InversionNet
     lpips_fn: Callable,

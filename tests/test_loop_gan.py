@@ -18,8 +18,9 @@ def test_train_gan_two_steps(tmp_path):
             gpc_reg_prob=0.5,
             neural_rendering_resolution_initial=32,
             neural_rendering_resolution_final=None,
-            g_reg_interval=2,
-            d_reg_interval=2,
+            # interval 1 => a single compiled phase variant (keeps CI time down)
+            g_reg_interval=1,
+            d_reg_interval=1,
         ),
     )
     rng = np.random.RandomState(0)
