@@ -57,9 +57,12 @@ def _kernel(
     g = pl.program_id(0)
 
     def dma(step, dst, sem_slot):
-        # starts are pre-aligned to the (8, 128) HBM tiling by the caller
+        # starts are pre-aligned to the (8, 128) HBM tiling by the caller;
+        # pl.multiple_of lets Mosaic prove it
+        ys = pl.multiple_of(ys_ref[step], 8)
+        xsc = pl.multiple_of(xsc_ref[step], 128)
         return pltpu.make_async_copy(
-            plane_ref.at[pl.ds(ys_ref[step], win_r), pl.ds(xsc_ref[step], win_c * C)],
+            plane_ref.at[pl.ds(ys, win_r), pl.ds(xsc, win_c * C)],
             dst,
             sems.at[sem_slot],
         )

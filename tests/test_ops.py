@@ -168,3 +168,31 @@ def test_resize_bilinear_matches_torch(size, antialias):
     ref = TF.interpolate(torch.tensor(img), size=size, mode="bilinear", align_corners=False, antialias=antialias)
     out = resize_bilinear(jnp.asarray(np.transpose(img, (0, 2, 3, 1))), size, antialias=antialias)
     np.testing.assert_allclose(from_nhwc(out), ref.numpy(), atol=2e-2, rtol=1e-2)
+
+
+def test_filtered_lrelu_matches_torch():
+    from invertavatar_tpu.ops.filtered_lrelu import filtered_lrelu
+
+    rng = np.random.RandomState(5)
+    x = torch.tensor(rng.randn(2, 4, 9, 9), dtype=torch.float64)
+    b = torch.tensor(rng.randn(4), dtype=torch.float64)
+    taps = torch.tensor([1.0, 3.0, 3.0, 1.0], dtype=torch.float64)
+    taps = taps / taps.sum()
+    f2d = torch.outer(taps, taps)
+
+    # torch oracle following filtered_lrelu.py:123-155 semantics
+    up, down, pad, gain, slope, clamp = 2, 2, (2, 1, 2, 1), np.sqrt(2.0), 0.2, 10.0
+    y = x + b.reshape(1, -1, 1, 1)
+    y = torch_upfirdn2d(y, taps, up=up, padding=pad, gain=up**2)
+    y = TF.leaky_relu(y, slope) * gain
+    y = torch.clamp(y, -clamp, clamp)
+    fw = 4
+    p2 = ((fw - down + 1) // 2, (fw - down) // 2)
+    y = torch_upfirdn2d(y, taps, down=down, padding=(0, 0, 0, 0))
+
+    fj = setup_filter([1, 3, 3, 1])
+    out = filtered_lrelu(
+        to_nhwc(x.float()), fj, fj, jnp.asarray(np.asarray(b, np.float32)),
+        up=up, down=down, padding=pad, gain=gain, slope=slope, clamp=clamp,
+    )
+    np.testing.assert_allclose(from_nhwc(out), y.numpy(), atol=1e-4)
