@@ -264,6 +264,51 @@ class DummyDualDiscriminator(_DiscriminatorCore):
         return self._score(x, c, force_fp32=force_fp32)
 
 
+class VideoDiscriminator(nn.Module):
+    """Pairwise temporal discriminator (reference dual_discriminator.py:260-352):
+    scores a frame pair ‖ time-delta channel, conditioned on both cameras.
+    Present in the reference but not in shipped configs (SURVEY §2.2)."""
+
+    c_dim: int
+    img_resolution: int
+    img_channels: int  # per-frame; pyramid input = 2×this + 1 time channel
+    channel_base: int = 32768
+    channel_max: int = 512
+    num_fp16_res: int = 4
+    conv_clamp: Optional[float] = 256.0
+    cmap_dim: Optional[int] = None
+    disc_c_noise: float = 0.0
+
+    @nn.compact
+    def __call__(self, img: Dict[str, jnp.ndarray], Ts, c, force_fp32: bool = False):
+        # img['image']: [B*T, H, W, C]; Ts: [B, T]; c: [B, T, c_dim+]
+        T = Ts.shape[1]
+        BT, H, W, C = img["image"].shape
+        B = BT // T
+        frames = img["image"].reshape(B, T, H, W, C)
+        stacked = jnp.concatenate([frames[:, t] for t in range(T)], axis=-1)
+        dt = (Ts[:, 1] - Ts[:, 0]).reshape(B, 1, 1, 1)
+        x = jnp.concatenate([stacked, jnp.broadcast_to(dt, (B, H, W, 1))], axis=-1)
+        if H != self.img_resolution:
+            x = resize_bilinear(x, (self.img_resolution, self.img_resolution), antialias=True)
+        c = c[..., : self.c_dim].reshape(B, -1)
+        if self.disc_c_noise > 0:
+            noise = jax.random.normal(self.make_rng("noise"), c.shape, c.dtype)
+            c = c + noise * jnp.std(c, axis=0) * self.disc_c_noise
+        core = _DiscriminatorCore(
+            c_dim=self.c_dim * T,
+            img_resolution=self.img_resolution,
+            img_channels=self.img_channels * T + 1,
+            channel_base=self.channel_base,
+            channel_max=self.channel_max,
+            num_fp16_res=self.num_fp16_res,
+            conv_clamp=self.conv_clamp,
+            cmap_dim=self.cmap_dim,
+            name="core",
+        )
+        return core._score(x, c, force_fp32=force_fp32)
+
+
 def filtered_resizing(image, size: int, filter_mode: str = "antialiased"):
     """Reference dual_discriminator.py:87-103 resize modes (NHWC)."""
     if filter_mode == "antialiased":

@@ -100,11 +100,13 @@ def _kernel(
         ohy, blk,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [P, win*C]
     out_ref[0, :, :] = jax.lax.dot_general(
         tmp * ohx, sel,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

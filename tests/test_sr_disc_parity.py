@@ -80,3 +80,35 @@ def test_dual_discriminator_parity():
         jnp.asarray(c),
     )
     np.testing.assert_allclose(np.asarray(out), out_ref, atol=2e-3)
+
+
+def test_single_and_dummy_discriminators_run():
+    import jax
+    from invertavatar_tpu.models.discriminator import (
+        DummyDualDiscriminator,
+        SingleDiscriminator,
+        VideoDiscriminator,
+    )
+
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    raw = jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32))
+    c = jnp.asarray(rng.randn(2, 25).astype(np.float32))
+
+    d = SingleDiscriminator(c_dim=25, img_resolution=32, img_channels=3, channel_base=1024, channel_max=64, num_fp16_res=0)
+    v = d.init(jax.random.PRNGKey(0), {"image": img}, c)
+    out = d.apply(v, {"image": img}, c)
+    assert out.shape == (2, 1)
+
+    dd = DummyDualDiscriminator(c_dim=25, img_resolution=32, img_channels=6, channel_base=1024, channel_max=64, num_fp16_res=0)
+    v = dd.init(jax.random.PRNGKey(0), {"image": img, "image_raw": raw}, c)
+    out = dd.apply(v, {"image": img, "image_raw": raw}, c, raw_fade=0.5)
+    assert out.shape == (2, 1)
+
+    vd = VideoDiscriminator(c_dim=25, img_resolution=32, img_channels=3, channel_base=1024, channel_max=64, num_fp16_res=0)
+    frames = jnp.asarray(rng.randn(4, 32, 32, 3).astype(np.float32))  # B=2, T=2
+    Ts = jnp.asarray(rng.rand(2, 2).astype(np.float32))
+    cc = jnp.asarray(rng.randn(2, 2, 25).astype(np.float32))
+    v = vd.init(jax.random.PRNGKey(0), {"image": frames}, Ts, cc)
+    out = vd.apply(v, {"image": frames}, Ts, cc)
+    assert out.shape == (2, 1)
