@@ -1,0 +1,53 @@
+"""Multi-host (DCN) initialization + global-mesh helpers.
+
+The reference is single-host only (file:// rendezvous in a local temp dir,
+train_avatar_texture.py:62-68; SURVEY §4 "multi-node is not addressed").
+Here multi-host comes from `jax.distributed.initialize` + one global mesh:
+params replicate over all devices, the batch shards over the global `data`
+axis, gradient reductions ride ICI within a slice and DCN across slices —
+no user-visible collectives.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX when running under a launcher.
+
+    With no arguments, resolves from the standard env vars (TPU pod metadata
+    or JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID); no-ops
+    on single-process runs.
+    """
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if num_processes <= 1 and coordinator_address is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_data_mesh(axis_name: str = "data") -> Mesh:
+    """One global data-parallel mesh over every device on every host."""
+    return Mesh(np.asarray(jax.devices()), (axis_name,))
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """This host's shard of a globally-indexed batch (InfiniteSampler-style
+    rank sharding is preferred; this helper serves array-sharded pipelines)."""
+    per = global_batch // jax.process_count()
+    start = per * jax.process_index()
+    return slice(start, start + per)

@@ -172,6 +172,27 @@ def train_gan(
                     "cur_nimg": np.asarray(cur_nimg),
                 }
                 save_orbax(os.path.join(cfg.run_dir, f"snapshot-{cur_nimg:08d}"), snap)
+                # fakes grid via EMA params (reference training_loop.py:460-472)
+                try:
+                    from ..utils.vis import save_image_grid
+
+                    nrr = neural_rendering_resolution(cfg.loss, cur_nimg)
+                    G_snap = dataclasses.replace(G, neural_rendering_resolution=nrr)
+                    out = jax.jit(
+                        lambda v, z, c, uvc: G_snap.apply(
+                            v, z, c, {"uvcoords_image": uvc}, noise_mode="const"
+                        )["image"]
+                    )(
+                        {"params": ema_params, "buffers": g_state.buffers},
+                        jnp.asarray(batch["z"][:4]),
+                        jnp.asarray(batch["c"][:4]),
+                        jnp.asarray(batch["v"]["uvcoords_image"][:4]),
+                    )
+                    save_image_grid(
+                        np.asarray(out), os.path.join(cfg.run_dir, f"fakes{cur_nimg:08d}.png")
+                    )
+                except Exception as e:  # snapshot rendering must never kill training
+                    print(f"[warn] image snapshot failed: {e}")
         if max_steps and step_idx >= max_steps:
             break
     logger.close()

@@ -80,3 +80,38 @@ def test_prefetch_batches(layout):
     batch = next(gen)
     assert batch["image"].shape == (2, 64, 64, 3)
     assert batch["c"].shape == (2, 50)
+
+
+def test_preprocess_alignment():
+    import PIL.Image
+    from invertavatar_tpu.data.preprocess import (
+        align_image,
+        align_quad,
+        smooth_landmark_sequence,
+        write_dataset_json,
+    )
+
+    rng = np.random.RandomState(0)
+    img = PIL.Image.fromarray(rng.randint(0, 255, (256, 256, 3), np.uint8))
+    lm5p = np.array([[90, 110], [160, 110], [128, 150], [100, 190], [155, 190]], np.float64)
+    quad = align_quad(lm5p)
+    assert quad.shape == (4, 2)
+    out = align_image(img, lm5p, output_size=64, transform_size=256)
+    assert out.size == (64, 64)
+
+    seq = rng.randn(20, 5, 2).cumsum(0)
+    sm = smooth_landmark_sequence(seq, sigma=2.0)
+    assert sm.shape == seq.shape
+    # smoothing reduces frame-to-frame jitter
+    assert np.abs(np.diff(sm, axis=0)).mean() < np.abs(np.diff(seq, axis=0)).mean()
+
+
+def test_write_dataset_json(tmp_path):
+    from invertavatar_tpu.data.preprocess import write_dataset_json
+
+    labels = {"vid/0.png": list(range(25))}
+    write_dataset_json(str(tmp_path), labels)
+    import json as _json
+
+    with open(tmp_path / "dataset_realcam.json") as f:
+        assert _json.load(f)["labels"]["vid/0.png"][24] == 24.0
