@@ -123,3 +123,20 @@ def test_id_loss_zero_for_same_image():
     variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3)))
     apply = lambda img: net.apply(variables, img)
     assert abs(float(id_loss(apply, x, x))) < 1e-5
+
+def test_ms_ssim_properties():
+    from invertavatar_tpu.losses.ms_ssim import ms_ssim, ssim
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 180, 180, 3).astype(np.float32))
+    # identical images -> 1
+    assert abs(float(ms_ssim(x, x)) - 1.0) < 1e-5
+    s, cs = ssim(x, x)
+    assert abs(float(s) - 1.0) < 1e-5
+    # noisy copy scores lower than identical but higher than unrelated
+    noisy = jnp.clip(x + 0.05 * rng.randn(*x.shape).astype(np.float32), 0, 1)
+    other = jnp.asarray(rng.rand(1, 180, 180, 3).astype(np.float32))
+    v_noisy = float(ms_ssim(x, noisy))
+    v_other = float(ms_ssim(x, other))
+    assert 0.5 < v_noisy < 1.0
+    assert v_other < v_noisy
