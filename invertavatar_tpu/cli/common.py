@@ -67,17 +67,45 @@ def layout_grid(images: List[np.ndarray], grid_wh: Tuple[int, int]) -> np.ndarra
 
 
 class VideoWriter:
-    def __init__(self, path: str, fps: int = 25):
-        import imageio
+    """mp4 writer: cv2 (mp4v, always present) with imageio/x264 fallback."""
 
+    def __init__(self, path: str, fps: int = 25):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        self._w = imageio.get_writer(path, fps=fps, codec="libx264", quality=8)
+        self._path = path
+        self._fps = fps
+        self._w = None
+
+    def _open(self, frame: np.ndarray):
+        h, w = frame.shape[:2]
+        try:
+            import cv2
+
+            self._w = cv2.VideoWriter(
+                self._path, cv2.VideoWriter_fourcc(*"mp4v"), self._fps, (w, h)
+            )
+            assert self._w.isOpened()
+            self._backend = "cv2"
+        except Exception:
+            import imageio
+
+            self._w = imageio.get_writer(self._path, fps=self._fps)
+            self._backend = "imageio"
 
     def append(self, frame: np.ndarray):
-        self._w.append_data(frame)
+        if self._w is None:
+            self._open(frame)
+        if self._backend == "cv2":
+            self._w.write(frame[..., ::-1])  # RGB -> BGR
+        else:
+            self._w.append_data(frame)
 
     def close(self):
-        self._w.close()
+        if self._w is None:
+            return
+        if self._backend == "cv2":
+            self._w.release()
+        else:
+            self._w.close()
 
 
 def load_image(path: str, resolution: int = 512) -> np.ndarray:
