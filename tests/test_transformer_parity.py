@@ -134,3 +134,23 @@ def test_uplayer_parity():
     variables = convert_state_dict(state_dict_from_torch_module(up_t))
     out = up_j.apply(variables, nhwc(x1), nhwc(x2))
     np.testing.assert_allclose(nchw(out), ref, atol=1e-3)
+
+
+def test_cross_attention_parity():
+    torch.manual_seed(5)
+    from encoder_inversion.models.attention import CrossAttention as RefCA
+
+    ca_t = RefCA(d_model=32, nhead=4, dim_feedforward=64, dropout=0.0)
+    ca_t.eval()
+    rng = np.random.RandomState(5)
+    tgt = rng.randn(2, 6, 32).astype(np.float32)
+    mem = rng.randn(2, 9, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = ca_t(torch.tensor(tgt), torch.tensor(mem)).numpy()
+
+    from invertavatar_tpu.models.encoders.attention import CrossAttention
+
+    ca_j = CrossAttention(d_model=32, nhead=4, dim_feedforward=64)
+    variables = convert_state_dict(state_dict_from_torch_module(ca_t))
+    out = ca_j.apply(variables, jnp.asarray(tgt), jnp.asarray(mem))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
