@@ -45,10 +45,23 @@ _PLANE_BASES = np.array(
 )
 PLANE_AXES_INV = np.linalg.inv(_PLANE_BASES).astype(np.float32)  # [3, 3, 3]
 
+# Legacy Next3D plane set (reference renderer_next3d.py:30-44): the third
+# plane swaps x/z ("三平面的顺序调换" — next3d_triplane.py header), so its
+# projection reads (z, y) instead of the shipped (z, x).
+_NEXT3D_PLANE_BASES = np.array(
+    [
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+        [[1, 0, 0], [0, 0, 1], [0, 1, 0]],
+        [[0, 0, 1], [0, 1, 0], [1, 0, 0]],
+    ],
+    dtype=np.float64,
+)
+NEXT3D_PLANE_AXES_INV = np.linalg.inv(_NEXT3D_PLANE_BASES).astype(np.float32)
 
-def project_onto_planes(coordinates: jnp.ndarray) -> jnp.ndarray:
+
+def project_onto_planes(coordinates: jnp.ndarray, axes_inv=None) -> jnp.ndarray:
     """[B, M, 3] -> [B, 3, M, 2] plane-space xy (reference renderer.py:49-63)."""
-    inv = jnp.asarray(PLANE_AXES_INV)
+    inv = jnp.asarray(PLANE_AXES_INV if axes_inv is None else axes_inv)
     proj = jnp.einsum("bmi,pij->bpmj", coordinates, inv)
     return proj[..., :2]
 
@@ -57,12 +70,13 @@ def sample_from_planes(
     plane_features: jnp.ndarray,  # [B, 3, H, W, C]
     coordinates: jnp.ndarray,  # [B, M, 3]
     box_warp: float,
+    axes_inv=None,
 ) -> jnp.ndarray:
     """Bilinear tri-plane lookup -> [B, 3, M, C] (reference renderer.py:85-97)."""
     B, n_planes, H, W, C = plane_features.shape
     M = coordinates.shape[1]
     coordinates = (2.0 / box_warp) * coordinates.astype(jnp.float32)
-    proj = project_onto_planes(coordinates)  # [B, 3, M, 2]
+    proj = project_onto_planes(coordinates, axes_inv)  # [B, 3, M, 2]
     planes = plane_features.reshape(B * n_planes, H, W, C)
     out = grid_sample(planes, proj.reshape(B * n_planes, M, 2))
     return out.reshape(B, n_planes, M, C)
@@ -107,7 +121,15 @@ def sample_pdf(
 
 
 class ImportanceRenderer:
-    """Stateless functional renderer; `decoder` is a closure over its params."""
+    """Stateless functional renderer; `decoder` is a closure over its params.
+
+    `plane_mode='next3d'` selects the legacy Next3D plane-axes set
+    (renderer_next3d.py:30-44); the default is the shipped v20 set.
+    """
+
+    def __init__(self, plane_mode: str = "v20"):
+        assert plane_mode in ("v20", "next3d")
+        self.axes_inv = None if plane_mode == "v20" else NEXT3D_PLANE_AXES_INV
 
     def __call__(
         self,
@@ -119,9 +141,18 @@ class ImportanceRenderer:
         evaluation: bool = False,
         rng: Optional[jax.Array] = None,
     ):
-        # dynamic near/far from mean camera distance (renderer.py:311-313)
-        dist = jnp.mean(jnp.linalg.norm(ray_origins, axis=-1))
-        ray_start, ray_end = dist - 0.45, dist + 0.6
+        rs, re = options.get("ray_start", "auto"), options.get("ray_end", "auto")
+        if isinstance(rs, (int, float)) and isinstance(re, (int, float)):
+            # fixed near/far from the config (renderer_next3d.py:111-115)
+            ray_start, ray_end = float(rs), float(re)
+        else:
+            # dynamic near/far from mean camera distance (renderer.py:311-313);
+            # also used as the stand-in for the reference's 'auto' per-ray box
+            # intersection (math_utils.get_ray_limits_box) — the head sits well
+            # inside the box for every shipped config, where both give the
+            # same covered interval.
+            dist = jnp.mean(jnp.linalg.norm(ray_origins, axis=-1))
+            ray_start, ray_end = dist - 0.45, dist + 0.6
 
         B, R, _ = ray_origins.shape
         S = options["depth_resolution"]
@@ -165,16 +196,16 @@ class ImportanceRenderer:
 
         def sample_feats(coords_flat):  # [B, M, 3] -> [B, 3, M, C]
             if not fast:
-                return sample_from_planes(planes, coords_flat, options["box_warp"])
+                return sample_from_planes(planes, coords_flat, options["box_warp"], self.axes_inv)
             scaled = (2.0 / options["box_warp"]) * coords_flat.astype(jnp.float32)
-            proj = project_onto_planes(scaled).reshape(Bp * n_planes, -1, 2)
+            proj = project_onto_planes(scaled, self.axes_inv).reshape(Bp * n_planes, -1, 2)
             out = grid_sample_patch(planes_padded, proj, Cp_)
             return out.reshape(Bp, n_planes, -1, Cp_)
 
         def sample_feats_coarse(coords):  # [B, R, S, 3] -> [B, 3, R*S, C]
             scaled = (2.0 / options["box_warp"]) * coords.astype(jnp.float32)
             S_ = coords.shape[2]
-            proj = project_onto_planes(scaled.reshape(Bp, -1, 3))  # [B, 3, R*S, 2]
+            proj = project_onto_planes(scaled.reshape(Bp, -1, 3), self.axes_inv)  # [B, 3, R*S, 2]
             proj = proj.reshape(Bp * n_planes, R, S_, 2)
             out = sample_planes_coarse_windowed(
                 planes_flat, proj, res=res, tile=tile, window=window
@@ -226,7 +257,7 @@ class ImportanceRenderer:
 
     def run_model(self, planes, decoder, coordinates, options):
         """Density/color at arbitrary coords (reference renderer.py:354-363)."""
-        feats = sample_from_planes(planes, coordinates, options["box_warp"])
+        feats = sample_from_planes(planes, coordinates, options["box_warp"], self.axes_inv)
         return decoder(feats)
 
     @staticmethod

@@ -61,7 +61,16 @@ def masked_adam(lr: float, predicate, b1=0.9, b2=0.999):
     def make_mask(params):
         return mask_params(params, predicate)
 
-    return optax.masked(optax.adam(lr, b1=b1, b2=b2), make_mask)
+    def make_inv_mask(params):
+        return jax.tree_util.tree_map(lambda m: not m, make_mask(params))
+
+    # optax.masked passes raw updates through for non-masked leaves, so the
+    # frozen subtrees must be explicitly zeroed first — otherwise raw grads
+    # leak into the "frozen" params via apply_updates.
+    return optax.chain(
+        optax.masked(optax.set_to_zero(), make_inv_mask),
+        optax.masked(optax.adam(lr, b1=b1, b2=b2), make_mask),
+    )
 
 
 def make_e4e_train_step(

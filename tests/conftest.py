@@ -12,3 +12,9 @@ import jax  # noqa: E402
 # The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu" at
 # interpreter start; override it back so tests stay on the CPU mesh.
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute compile-heavy tests (deselect with -m 'not slow')"
+    )
