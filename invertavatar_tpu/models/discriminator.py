@@ -309,6 +309,168 @@ class VideoDiscriminator(nn.Module):
         return core._score(x, c, force_fp32=force_fp32)
 
 
+def construct_log_spaced_freqs(max_num_frames: int, skip_small_t_freqs: int = 0) -> np.ndarray:
+    """Reference dual_discriminator.py:541-548."""
+    time_resolution = 2 ** np.ceil(np.log2(max_num_frames))
+    num_fourier_feats = int(np.ceil(np.log2(time_resolution)))
+    powers = 2.0 ** np.arange(num_fourier_feats)
+    powers = powers[: len(powers) - skip_small_t_freqs]
+    return (powers[None].astype(np.float32) * np.pi) / time_resolution  # [1, nf]
+
+
+class FixedTimeEncoder(nn.Module):
+    """Log-spaced Fourier time features (reference dual_discriminator.py:468-494)."""
+
+    max_num_frames: int
+    skip_small_t_freqs: int = 0
+
+    @property
+    def dim(self) -> int:
+        return construct_log_spaced_freqs(self.max_num_frames, self.skip_small_t_freqs).shape[1] * 2
+
+    @nn.compact
+    def __call__(self, t):
+        coefs = self.variable(
+            "buffers", "fourier_coefs",
+            lambda: jnp.asarray(construct_log_spaced_freqs(self.max_num_frames, self.skip_small_t_freqs)),
+        ).value
+        raw = coefs * t.reshape(-1).astype(jnp.float32)[:, None]
+        return jnp.concatenate([jnp.sin(raw), jnp.cos(raw)], axis=1)
+
+
+class TemporalDifferenceEncoder(nn.Module):
+    """Frame-gap embedding (reference dual_discriminator.py:497-538):
+    learned gap-index embedding ‖ Fourier features of the gap."""
+
+    max_num_frames: int = 32
+    num_frames_per_video: int = 2
+    sampling_type: str = "random"
+    d: int = 256
+
+    @property
+    def dim(self) -> int:
+        if self.num_frames_per_video == 1:
+            return 1
+        per = self.d + FixedTimeEncoder(self.max_num_frames).dim
+        return per if self.sampling_type == "uniform" else per * (self.num_frames_per_video - 1)
+
+    @nn.compact
+    def __call__(self, t):
+        B = t.shape[0]
+        if self.num_frames_per_video == 1:
+            return jnp.zeros((B, 1), jnp.float32)
+        if self.sampling_type == "uniform":
+            t_diffs = (t[:, 1] - t[:, 0]).reshape(-1)
+        else:
+            t_diffs = (t[:, 1:] - t[:, :-1]).reshape(-1)
+        class _Embedding(nn.Module):
+            n: int
+            d: int
+
+            @nn.compact
+            def __call__(self, idx):
+                # stored transposed [d, n]: the torch importer transposes every
+                # 2-D "weight" with Linear semantics, and this layout makes the
+                # round trip land correctly (torch nn.Embedding weight is [n, d])
+                w = self.param("weight", nn.initializers.normal(1.0), (self.d, self.n), jnp.float32)
+                return w[:, idx].T
+
+        const_embs = _Embedding(self.max_num_frames, self.d, name="const_embed")(
+            jnp.round(t_diffs.astype(jnp.float32)).astype(jnp.int32)
+        )
+        fourier = FixedTimeEncoder(self.max_num_frames, name="time_encoder")(t_diffs[:, None])
+        return jnp.concatenate([const_embs, fourier], axis=1).reshape(B, -1)
+
+
+class FusionVideoDiscriminator(nn.Module):
+    """Video discriminator fusing frame features mid-pyramid (reference
+    dual_discriminator.py:353-461): frames run separately down to `concat_res`
+    where their (width-reduced) features concatenate along channels; camera
+    labels of all frames + the TemporalDifferenceEncoder gap embedding feed
+    the cmap projection. Present in the reference but not in shipped configs."""
+
+    c_dim: int
+    img_resolution: int
+    img_channels: int
+    architecture: str = "resnet"
+    channel_base: int = 32768
+    channel_max: int = 512
+    num_fp16_res: int = 4
+    conv_clamp: Optional[float] = 256.0
+    cmap_dim: Optional[int] = None
+    disc_c_noise: float = 0.0
+    concat_res: int = 16
+    num_frames_div_factor: int = 2
+    num_frames_per_video: int = 2
+    max_num_frames: int = 32
+
+    @nn.compact
+    def __call__(self, img: Dict[str, jnp.ndarray], Ts, c, force_fp32: bool = False):
+        log2 = int(np.log2(self.img_resolution))
+        block_resolutions = [2**i for i in range(log2, 2, -1)]
+        channels = lambda res: min(self.channel_base // res, self.channel_max)
+        fp16_resolution = max(2 ** (log2 + 1 - self.num_fp16_res), 8)
+        cmap_dim = self.cmap_dim if self.cmap_dim is not None else channels(4)
+        if self.c_dim == 0:
+            cmap_dim = 0
+
+        T = Ts.shape[1]
+        x_img = img["image"]  # [B*T, H, W, C]
+        if x_img.shape[1] != self.img_resolution:
+            x_img = resize_bilinear(
+                x_img, (self.img_resolution, self.img_resolution), antialias=True
+            )
+
+        time_enc = TemporalDifferenceEncoder(
+            self.max_num_frames, self.num_frames_per_video, name="time_encoder"
+        )
+        cc = c[..., : self.c_dim].reshape(c.shape[0], -1)
+        t_embs = time_enc(Ts)
+        cc = jnp.concatenate([cc, t_embs], axis=1)
+        if self.disc_c_noise > 0:
+            noise = jax.random.normal(self.make_rng("noise"), cc.shape, cc.dtype)
+            cc = cc + noise * jnp.std(cc, axis=0) * self.disc_c_noise
+
+        x = None
+        cur = x_img
+        for res in block_resolutions:
+            in_ch = channels(res) if res < self.img_resolution else 0
+            out_ch = channels(res // 2)
+            if res // 2 == self.concat_res:
+                out_ch = out_ch // self.num_frames_div_factor
+            if res == self.concat_res:
+                in_ch = (in_ch // self.num_frames_div_factor) * self.num_frames_per_video
+                # concat frame features along channels [(b t), h, w, c] -> [b, h, w, t*c]
+                BT, hh, ww, ch = x.shape
+                x = x.reshape(BT // T, T, hh, ww, ch)
+                x = jnp.concatenate([x[:, t] for t in range(T)], axis=-1)
+                cur = None
+            x, cur = DiscriminatorBlock(
+                in_channels=in_ch,
+                tmp_channels=channels(res),
+                out_channels=out_ch,
+                resolution=res,
+                img_channels=self.img_channels,
+                architecture=self.architecture,
+                conv_clamp=self.conv_clamp,
+                use_fp16=(res >= fp16_resolution),
+                name=f"b{res}",
+            )(x, cur, force_fp32=force_fp32)
+
+        cmap = None
+        if self.c_dim > 0:
+            cmap = MappingNetwork(
+                z_dim=0,
+                c_dim=self.c_dim * self.num_frames_per_video + time_enc.dim,
+                w_dim=cmap_dim, num_ws=None, w_avg_beta=None, name="mapping",
+            )(None, cc)
+        return DiscriminatorEpilogue(
+            in_channels=channels(4), cmap_dim=cmap_dim, resolution=4,
+            img_channels=self.img_channels, architecture=self.architecture,
+            conv_clamp=self.conv_clamp, name="b4",
+        )(x, cur, cmap)
+
+
 def filtered_resizing(image, size: int, filter_mode: str = "antialiased"):
     """Reference dual_discriminator.py:87-103 resize modes (NHWC)."""
     if filter_mode == "antialiased":

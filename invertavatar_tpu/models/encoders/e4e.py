@@ -155,3 +155,41 @@ class LatentCodesDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, w):
         return _MLP(self.style_dim, self.n_mlp, name="mlp")(w)
+
+
+class LatentCodesPool:
+    """Replay buffer of generated w codes for the latent discriminator
+    (e4e.py:241-291). Host-side training utility (not jitted — it holds
+    python state across steps like the reference)."""
+
+    def __init__(self, pool_size: int):
+        import random
+
+        self.pool_size = pool_size
+        self._random = random
+        self.num_ws = 0
+        self.ws = []
+
+    def query(self, ws):
+        import numpy as np
+
+        if self.pool_size == 0:
+            return ws
+        out = []
+        for w in np.asarray(ws):
+            if w.ndim == 2:  # (n_latent, 512): pick one style row as candidate
+                w = w[self._random.randint(0, len(w) - 1)]
+            self._handle(w, out)
+        return np.stack(out, 0)
+
+    def _handle(self, w, out):
+        if self.num_ws < self.pool_size:
+            self.num_ws += 1
+            self.ws.append(w)
+            out.append(w)
+        elif self._random.uniform(0, 1) > 0.5:
+            rid = self._random.randint(0, self.pool_size - 1)
+            out.append(self.ws[rid].copy())
+            self.ws[rid] = w
+        else:
+            out.append(w)

@@ -43,8 +43,7 @@ def _kernel(
     gy_ref,  # [1, 1, P] fp32 absolute pixel rows
     gx_ref,  # [1, 1, P] fp32 absolute pixel cols
     out_ref,  # [1, P, C]
-    win0,  # scratch [WIN, WIN*C]
-    win1,  # scratch [WIN, WIN*C]
+    win,  # scratch [2, WIN, WIN*C] double buffer
     sems,  # DMA semaphores (2,)
     *,
     win_r: int,
@@ -53,24 +52,33 @@ def _kernel(
     C: int,
     H: int,
     W: int,
+    exact: bool,
 ):
     g = pl.program_id(0)
+    G = pl.num_programs(0)
+    slot = jax.lax.rem(g, 2)
+    dt = win.dtype
+    row_align = 8 if dt == jnp.float32 else 16
 
-    def dma(step, dst, sem_slot):
-        # starts are pre-aligned to the (8, 128) HBM tiling by the caller;
+    def dma(step, sem_slot):
+        # starts are pre-aligned to the HBM tiling by the caller;
         # pl.multiple_of lets Mosaic prove it
-        ys = pl.multiple_of(ys_ref[step], 8)
+        ys = pl.multiple_of(ys_ref[step], row_align)
         xsc = pl.multiple_of(xsc_ref[step], 128)
         return pltpu.make_async_copy(
             plane_ref.at[pl.ds(ys, win_r), pl.ds(xsc, win_c * C)],
-            dst,
+            win.at[sem_slot],
             sems.at[sem_slot],
         )
 
-    # synchronous window fetch (the contraction dominates; pipelining the DMA
-    # is a follow-up once Mosaic is happy with the simple form)
-    cp = dma(g, win0, 0)
-    cp.start()
+    # double-buffered: step g's window was started at step g-1; kick off g+1
+    @pl.when(g == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(g + 1 < G)
+    def _():
+        dma(g + 1, 1 - slot).start()
 
     ys_f = ys_ref[g].astype(jnp.float32)
     xs_f = (xsc_ref[g] // C).astype(jnp.float32)
@@ -92,26 +100,30 @@ def _kernel(
     # lane -> channel selector [win_c*C, C]
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (win_c * C, C), 0) % C
     ch = jax.lax.broadcasted_iota(jnp.int32, (win_c * C, C), 1)
-    sel = (lane_c == ch).astype(jnp.float32)
+    sel = (lane_c == ch).astype(dt)
 
-    cp.wait()
-    blk = win0[:]  # [win_r, win_c*C]
+    dma(g, slot).wait()
+    blk = win[slot]  # [win_r, win_c*C]
+    prec = jax.lax.Precision.HIGHEST if exact else None
     tmp = jax.lax.dot_general(
-        ohy, blk,
+        ohy.astype(dt), blk,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [P, win*C]
+        precision=prec,
+    )  # [P, win*C] fp32
     out_ref[0, :, :] = jax.lax.dot_general(
-        tmp * ohx, sel,
+        (tmp * ohx).astype(dt), sel,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W"))
-def _sample_one_plane(plane2d, ys, xsc, gy, gx, win_r: int, win_c: int, C: int, H: int, W: int):
+@functools.partial(
+    jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W", "exact")
+)
+def _sample_one_plane(plane2d, ys, xsc, gy, gx, win_r: int, win_c: int, C: int,
+                      H: int, W: int, exact: bool):
     G, P = gy.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -123,12 +135,13 @@ def _sample_one_plane(plane2d, ys, xsc, gy, gx, win_r: int, win_c: int, C: int, 
         ],
         out_specs=pl.BlockSpec((1, P, C), lambda g, ys, xsc: (g, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((win_r, win_c * C), jnp.float32),
-            pltpu.VMEM((win_r, win_c * C), jnp.float32),
+            pltpu.VMEM((2, win_r, win_c * C), plane2d.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel, win_r=win_r, win_c=win_c, P=P, C=C, H=H, W=W)
+    kernel = functools.partial(
+        _kernel, win_r=win_r, win_c=win_c, P=P, C=C, H=H, W=W, exact=exact
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -143,8 +156,15 @@ def sample_planes_windowed_pallas(
     res: int,
     tile: int = 16,
     window: int = 48,
+    payload_dtype=jnp.float32,
+    exact: bool = True,
 ) -> jnp.ndarray:
-    """Windowed bilinear sampling for structured points -> [N, R, S, C]."""
+    """Windowed bilinear sampling for structured points -> [N, R, S, C].
+
+    payload_dtype=bfloat16 halves DMA traffic and runs the tent contractions
+    as single-pass MXU matmuls (~1e-3 relative error); exact=False drops the
+    HIGHEST-precision (6-pass) fp32 matmuls.
+    """
     N, H, W, C = planes.shape
     R, S = grid.shape[1], grid.shape[2]
     assert R == res * res and res % tile == 0
@@ -157,21 +177,22 @@ def sample_planes_windowed_pallas(
     gx = (g[..., 0].astype(jnp.float32) + 1.0) * (W * 0.5) - 0.5
     gy = (g[..., 1].astype(jnp.float32) + 1.0) * (H * 0.5) - 0.5
 
-    # HBM tiling requires DMA starts aligned to (8 rows, 128 lanes); align the
-    # window starts down and widen the window to cover the slack.
+    # HBM tiling requires DMA starts aligned to (8/16 rows, 128 lanes); align
+    # the window starts down and widen the window to cover the slack.
+    row_align = 8 if payload_dtype == jnp.float32 else 16
     xalign = max(1, 128 // C)
-    win_r = window + 8
+    win_r = window + row_align
     win_c = window + xalign
     xs = jnp.clip(jnp.floor(jnp.min(gx, axis=-1)).astype(jnp.int32) - 1, 0, max(W - win_c, 0))
     ys = jnp.clip(jnp.floor(jnp.min(gy, axis=-1)).astype(jnp.int32) - 1, 0, max(H - win_r, 0))
-    ys = (ys // 8) * 8
+    ys = (ys // row_align) * row_align
     xs = (xs // xalign) * xalign
 
     outs = []
     for n in range(N):
         outs.append(
             _sample_one_plane(
-                planes[n].astype(jnp.float32).reshape(H, W * C),
+                planes[n].astype(payload_dtype).reshape(H, W * C),
                 ys[n].reshape(-1),
                 (xs[n] * C).reshape(-1),
                 gy[n].reshape(T * S, P),
@@ -181,6 +202,7 @@ def sample_planes_windowed_pallas(
                 C=C,
                 H=H,
                 W=W,
+                exact=exact and payload_dtype == jnp.float32,
             )
         )
     out = jnp.stack(outs)  # [N, T*S, P, C]

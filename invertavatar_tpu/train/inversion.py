@@ -42,11 +42,13 @@ class InversionLossWeights:
     w_discriminator: float = 0.0
     raw_l1: float = 1.0
     tri: float = 1.0
+    texture: float = 0.0
     lr_lpips: float = 0.0
     multiview_id: float = 0.0
     mouth: float = 0.0
     adv: float = 0.0
     wd_r1_gamma: float = 10.0
+    adv_r1_gamma: float = 10.0
 
 
 def _to256(img):
@@ -156,6 +158,128 @@ def wd_losses(
         r1 = jnp.mean(jnp.sum(jnp.square(grads), axis=1))
         total = total + weights.wd_r1_gamma / 2 * r1
         aux["wd_r1"] = r1
+    return total, aux
+
+
+# ---------------------------------------------------------------- one-shot stage
+
+
+def oneshot_igen_loss(
+    inv_forward: Callable,  # ({'image','uv'}, c, v, return_feats) -> I_output dict
+    gen_mapping: Callable,
+    gen_synthesis_featmap: Callable,  # (ws, c, v) -> output dict incl. featmaps
+    d_apply: Optional[Callable],
+    lpips: Callable,
+    id_fn: Optional[Callable],
+    weights: InversionLossWeights,
+    z, c, v, gen_uv,
+):
+    """Igen phase of the one-shot U-Net stage (unet_loss.py:99-147): invert a
+    frozen-generator sample with exact feature supervision + optional adv."""
+    sg = jax.lax.stop_gradient
+    ws = sg(gen_mapping(z, c, truncation_psi=0.8))
+    gen_out = {k: sg(val) if isinstance(val, jnp.ndarray) else [sg(f) for f in val]
+               for k, val in gen_synthesis_featmap(ws, c, v).items()}
+    i_out = inv_forward({"image": gen_out["image"], "uv": gen_uv}, c, v,
+                        weights.texture > 0)
+
+    losses = {}
+    if weights.adv > 0 and d_apply is not None:
+        logits = d_apply(
+            {"image": i_out["image"], "image_raw": i_out["feature_image"][..., :3]},
+            jnp.zeros_like(c),
+        )
+        losses["adv"] = jnp.mean(jax.nn.softplus(-logits))
+    gen256 = _to256(gen_out["image"][..., :3])
+    i256 = _to256(i_out["image"])
+    if weights.l1 > 0:
+        losses["l1"] = jnp.mean(jnp.abs(gen256 - i256))
+    if weights.lpips > 0:
+        losses["lpips"] = lpips(gen256, i256)
+    if weights.raw_l1 > 0:
+        losses["raw_l1"] = jnp.mean(jnp.abs(gen_out["feature_image"] - i_out["feature_image"]))
+    if weights.tri > 0:
+        losses["tri"] = jnp.mean(jnp.abs(gen_out["triplane"] - i_out["triplane"]))
+    if weights.texture > 0:
+        losses["texture"] = sum(
+            jnp.mean(jnp.abs(g - i)) for g, i in zip(gen_out["texture"], i_out["texture"])
+        )
+    if weights.lr_lpips > 0:
+        losses["lr_lpips"] = lpips(gen_out["feature_image"][..., :3], i_out["feature_image"][..., :3])
+    if weights.id > 0 and id_fn is not None:
+        losses["id"] = id_fn(gen256, i256)
+    total = sum(getattr(weights, k) * val for k, val in losses.items())
+    return total, losses
+
+
+def oneshot_ireal_loss(
+    inv_forward: Callable,
+    d_apply: Optional[Callable],
+    lpips: Callable,
+    id_fn: Optional[Callable],
+    weights: InversionLossWeights,
+    real_img: Dict,  # {'image' [B,H,W,3(+mask)], 'uv'}
+    real_c, real_v,
+):
+    """Ireal phase (unet_loss.py:148-186): invert a real image; when a mask
+    channel is present the fake is composited onto the real background."""
+    i_out = inv_forward(real_img, real_c, real_v, False)
+    image = real_img["image"]
+    real_raw128 = resize_bilinear(image[..., :3], (128, 128), antialias=True)
+
+    losses = {}
+    if weights.adv > 0 and d_apply is not None:
+        logits = d_apply(
+            {"image": i_out["image"], "image_raw": i_out["feature_image"][..., :3]},
+            jnp.zeros_like(real_c),
+        )
+        losses["adv"] = jnp.mean(jax.nn.softplus(-logits))
+    fake = i_out["image"]
+    if image.shape[-1] > 3:
+        mask = image[..., -1:]
+        fake = fake * mask + image[..., :3] * (1.0 - mask)
+    fake256 = _to256(fake)
+    real256 = _to256(image[..., :3])
+    if weights.l1 > 0:
+        losses["l1"] = jnp.mean(jnp.abs(real256 - fake256))
+    if weights.lpips > 0:
+        losses["lpips"] = lpips(real256, fake256)
+    if weights.raw_l1 > 0:
+        losses["raw_l1"] = jnp.mean(jnp.abs(real_raw128 - i_out["feature_image"][..., :3]))
+    if weights.lr_lpips > 0:
+        losses["lr_lpips"] = lpips(real_raw128, i_out["feature_image"][..., :3])
+    if weights.id > 0 and id_fn is not None:
+        losses["id"] = id_fn(real256, fake)
+    total = sum(getattr(weights, k) * val for k, val in losses.items())
+    return total, losses
+
+
+def oneshot_d_loss(
+    d_apply: Callable,  # (img_dict, c) -> logits, closed over D params
+    fake_img: Dict,  # {'image', 'image_raw'} from the inverter (stop-grad outside)
+    real_img: Dict,  # {'image', 'image_raw'} generator sample or real frame
+    c,
+    weights: InversionLossWeights,
+    do_r1: bool,
+):
+    """Dgen/Dreal(+_reg) phases (unet_loss.py:218-258): dual-D softplus GAN
+    loss with R1 on both the image and the raw branch."""
+    c0 = jnp.zeros_like(c)
+    loss_dgen = jnp.mean(jax.nn.softplus(d_apply(fake_img, c0)))
+    loss_dreal = jnp.mean(jax.nn.softplus(-d_apply(real_img, c0)))
+    total = loss_dgen + loss_dreal
+    aux = {"d_gen": loss_dgen, "d_real": loss_dreal}
+    if do_r1:
+        def score(image, image_raw):
+            return jnp.sum(d_apply({"image": image, "image_raw": image_raw}, c0))
+
+        g_img, g_raw = jax.grad(score, argnums=(0, 1))(real_img["image"], real_img["image_raw"])
+        r1 = jnp.mean(
+            jnp.sum(jnp.square(g_img), axis=(1, 2, 3))
+            + jnp.sum(jnp.square(g_raw), axis=(1, 2, 3))
+        )
+        total = total + weights.adv_r1_gamma / 2 * r1
+        aux["d_r1"] = r1
     return total, aux
 
 

@@ -27,6 +27,9 @@ from .inversion import (
     e4e_igen_loss,
     e4e_ireal_loss,
     fewshot_ireal_loss,
+    oneshot_d_loss,
+    oneshot_igen_loss,
+    oneshot_ireal_loss,
     wd_losses,
 )
 from .state import TrainState
@@ -45,6 +48,17 @@ def mask_params(params, predicate) -> Any:
 
 def e4e_trainable(path: str) -> bool:
     return path.startswith("encoder/")
+
+
+def oneshot_tex_trainable(path: str) -> bool:
+    """One-shot stage, texture-unet optimizer (training_loop_unet_interval.py
+    Igen_tex_modules)."""
+    return path.startswith("unet_encoder/texture_unet")
+
+
+def oneshot_tri_trainable(path: str) -> bool:
+    """One-shot stage, tri-plane-SFT-unet optimizer (Igen_tri_modules)."""
+    return path.startswith("unet_encoder/triplane_unet")
 
 
 def unet_decoder_trainable(path: str) -> bool:
@@ -172,6 +186,133 @@ def make_e4e_train_step(
         return new_state, new_wd_state, aux
 
     return step
+
+
+def make_oneshot_train_step(
+    I_module,  # InversionNet (segformer one-shot variant)
+    D_module,  # DualDiscriminator (or None when weights.adv == 0)
+    lpips_fn: Callable,
+    id_fn: Optional[Callable],
+    tx: optax.GradientTransformation,  # masked (tex- or tri-unet) optimizer
+    d_tx: Optional[optax.GradientTransformation],
+    weights: InversionLossWeights,
+):
+    """One-shot U-Net stage step (reference training_loop_unet_interval.py
+    :356-368 + unet_loss.py). `phase` is static: 'Igen' | 'Ireal' alternating
+    by batch parity; D phases run when `weights.adv > 0`."""
+
+    def step(state: TrainState, d_state: Optional[TrainState], batch: Dict, rng,
+             phase: str = "Ireal", do_r1: bool = False):
+        rngs = {"noise": jax.random.fold_in(rng, 0), "ray": jax.random.fold_in(rng, 1)}
+
+        def make_closures(params):
+            variables = {"params": params, **state.buffers}
+
+            def inv_forward(x, c, v, return_feats):
+                return I_module.apply(
+                    variables, x, c, v,
+                    method=lambda m, x, c, v: m(x, c, v, return_feats=return_feats),
+                    rngs=rngs,
+                )
+
+            def gen_mapping(z, c, truncation_psi=1.0):
+                return I_module.apply(
+                    variables, z, c,
+                    method=lambda m, z, c: m.generator.mapping(z, c, truncation_psi=truncation_psi),
+                    rngs=rngs,
+                )
+
+            def gen_synthesis_featmap(ws, c, v):
+                return I_module.apply(
+                    variables, ws, c, v,
+                    method=lambda m, ws, c, v: m.generator.synthesis(
+                        ws, c, v, return_featmap=True, noise_mode="const"
+                    ),
+                    rngs=rngs,
+                )
+
+            return inv_forward, gen_mapping, gen_synthesis_featmap
+
+        def d_apply_with(d_params):
+            def d_apply(img, c):
+                return D_module.apply({"params": d_params, **d_state.buffers}, img, c, rngs=rngs)
+
+            return d_apply
+
+        aux = {}
+        new_state, new_d_state = state, d_state
+        if phase in ("Igen", "Ireal"):
+            def loss_fn(params):
+                inv_forward, gen_mapping, gen_synth = make_closures(params)
+                d_apply = d_apply_with(d_state.params) if (weights.adv > 0 and d_state is not None) else None
+                if phase == "Igen":
+                    total, losses = oneshot_igen_loss(
+                        inv_forward, gen_mapping, gen_synth, d_apply, lpips_fn, id_fn,
+                        weights, batch["z"], batch["c"], batch["v"], batch.get("gen_uv"),
+                    )
+                else:
+                    total, losses = oneshot_ireal_loss(
+                        inv_forward, d_apply, lpips_fn, id_fn, weights,
+                        {"image": batch["image"], "uv": batch["uv"]},
+                        batch["c"], batch["v"],
+                    )
+                return total, {f"{phase}/{k}": v for k, v in losses.items()}
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            new_state = TrainState(
+                optax.apply_updates(state.params, updates), opt_state, state.buffers
+            )
+        else:  # D phases
+            assert phase in ("Dgen", "Dreal") and d_state is not None
+            sg = jax.lax.stop_gradient
+            inv_forward, gen_mapping, gen_synth = make_closures(state.params)
+            if phase == "Dgen":
+                ws = sg(gen_mapping(batch["z"], batch["c"], truncation_psi=0.8))
+                gen_out = gen_synth(ws, batch["c"], batch["v"])
+                i_out = inv_forward(
+                    {"image": gen_out["image"], "uv": batch.get("gen_uv")},
+                    batch["c"], batch["v"], False,
+                )
+                real_pair = {"image": sg(gen_out["image"][..., :3]),
+                             "image_raw": sg(gen_out["feature_image"][..., :3])}
+            else:
+                i_out = inv_forward(
+                    {"image": batch["image"], "uv": batch["uv"]}, batch["c"], batch["v"], False
+                )
+                from ..ops.resize import resize_bilinear
+
+                real_pair = {
+                    "image": batch["image"][..., :3],
+                    "image_raw": resize_bilinear(batch["image"][..., :3], (128, 128), antialias=True),
+                }
+            fake_pair = {"image": sg(i_out["image"]),
+                         "image_raw": sg(i_out["feature_image"][..., :3])}
+
+            def d_loss_fn(d_params):
+                return oneshot_d_loss(
+                    d_apply_with(d_params), fake_pair, real_pair, batch["c"], weights, do_r1
+                )
+
+            (_, aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(d_state.params)
+            d_updates, d_opt = d_tx.update(d_grads, d_state.opt_state, d_state.params)
+            new_d_state = TrainState(
+                optax.apply_updates(d_state.params, d_updates), d_opt, d_state.buffers
+            )
+            aux = {f"{phase}/{k}": v for k, v in aux.items()}
+        return new_state, new_d_state, aux
+
+    return step
+
+
+def oneshot_phase_schedule(batch_idx: int, d_reg_interval: int = 16):
+    """training_loop_unet_interval.py:358-368: (I-phase, which unet trains,
+    D-phase, do_r1) for this batch index."""
+    i_phase = "Ireal" if batch_idx % 4 < 2 else "Igen"
+    unet = "tri" if batch_idx % 2 == 0 else "tex"
+    d_phase = "Dreal" if batch_idx % 4 < 2 else "Dgen"
+    do_r1 = batch_idx % d_reg_interval == 0
+    return i_phase, unet, d_phase, do_r1
 
 
 @dataclasses.dataclass

@@ -28,7 +28,7 @@ from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 
-_BUFFER_LEAVES = {"noise_const", "w_avg", "latent_avg", "black_uv_bg"}
+_BUFFER_LEAVES = {"noise_const", "w_avg", "latent_avg", "black_uv_bg", "fourier_coefs"}
 _BATCH_STATS_LEAVES = {"running_mean", "running_var"}
 _DROP_LEAVES = {"resample_filter", "num_batches_tracked"}
 
