@@ -453,6 +453,150 @@ def paste_boxes(img: jnp.ndarray, patch: jnp.ndarray, boxes: jnp.ndarray) -> jnp
 # ---------------------------------------------------------------------------
 
 
+_LEGACY_VIEWS_DEG = ((0.0, 180.0, 180.0), (0.0, 90.0, 180.0), (-90.0, 180.0, 180.0))
+
+
+class LegacyTriPlaneGenerator(nn.Module):
+    """training_avatar_texture/triplane.py:33-231 — the oldest generator:
+    texture rasterized to three ortho views and alpha-blended per-plane with
+    the 96-ch static planes; no mouth branch, no neural blending.
+
+    The reference copy is dead code with two latent crashes (it passes
+    (scale, shift) separately to the 1-camera-arg `batch_orth_proj`, :166,
+    and feeds the concatenated ws to backbones asserting their own num_ws);
+    this implementation realizes the evident intent: camera = [2, 0, 0] and
+    ws split [backbone_ws ‖ texture_ws] like the later generators.
+    """
+
+    z_dim: int
+    c_dim: int
+    w_dim: int
+    img_resolution: int
+    img_channels: int
+    topology: Any  # FlameTopology
+    sr_num_fp16_res: int = 0
+    rendering_kwargs: Any = None
+    neural_rendering_resolution: int = 64
+    channel_base: int = 32768
+    channel_max: int = 512
+    num_fp16_res: int = 0
+    conv_clamp: Optional[float] = 256.0
+    map_num_layers: int = 8
+    faces_per_tile: int = 1024
+    orth_scale: float = 2.0
+
+    def setup(self):
+        rk = self.rendering_kwargs or {}
+        common = dict(
+            z_dim=self.z_dim, c_dim=self.c_dim, w_dim=self.w_dim,
+            img_resolution=256, channel_base=self.channel_base,
+            channel_max=self.channel_max, num_fp16_res=self.num_fp16_res,
+            conv_clamp=self.conv_clamp, map_num_layers=self.map_num_layers,
+        )
+        self.texture_backbone = Generator(img_channels=32, **common)
+        self.backbone = Generator(
+            img_channels=32 * 3,
+            mapping_ws=self.texture_backbone.synthesis.num_ws * 2,
+            **common,
+        )
+        sr_name = rk.get(
+            "superresolution_module",
+            "training_avatar_texture.superresolution.SuperresolutionHybrid8XDC",
+        ).rsplit(".", 1)[-1]
+        from . import superresolution as sr_mod
+
+        self.superresolution = getattr(sr_mod, sr_name)(
+            channels=32, img_resolution=self.img_resolution,
+            sr_num_fp16_res=self.sr_num_fp16_res,
+            sr_antialias=rk.get("sr_antialias", True),
+        )
+        self.decoder = OSGDecoder(32, decoder_lr_mul=rk.get("decoder_lr_mul", 1.0),
+                                  decoder_output_dim=32)
+        self.renderer = ImportanceRenderer(plane_mode="next3d")
+
+    def mapping(self, z, c, truncation_psi=1.0, truncation_cutoff=None, update_emas=False):
+        rk = self.rendering_kwargs or {}
+        if rk.get("c_gen_conditioning_zero", True):
+            c = jnp.zeros_like(c)
+        return self.backbone.mapping(
+            z, c * rk.get("c_scale", 0.0), truncation_psi=truncation_psi,
+            truncation_cutoff=truncation_cutoff, update_emas=update_emas,
+        )
+
+    def rasterize_orth(self, v, textures):
+        """triplane.py:159-176: three views -> ([B,3,H,W,32], [B,3,H,W,1])."""
+        topo = self.topology
+        # single y-flip chain: front faces need the winding swap for culling
+        faces = jnp.asarray(topo.faces)[:, [0, 2, 1]]
+        face_attrs = jnp.asarray(topo.face_uvcoords)[:, [0, 2, 1]]
+        sg = jax.lax.stop_gradient
+
+        renders, alphas = [], []
+        for view in _LEGACY_VIEWS_DEG:
+            rot = jnp.asarray(_angle2matrix_np(view))
+            tv = jnp.matmul(v, rot) * self.orth_scale  # camera (2, 0, 0)
+            tv = tv * jnp.asarray([1.0, -1.0, -1.0])
+
+            def raster_one(verts):
+                out = rasterize(
+                    verts, faces, height=256, width=256,
+                    window=(-1.0, 1.0, -1.0, 1.0),
+                    faces_per_tile=self.faces_per_tile, cull_backfaces=True,
+                )
+                return interpolate_attributes(out, face_attrs)
+
+            rendering = jax.vmap(raster_one)(tv)  # [B,256,256,4]
+            alphas.append(sg(rendering[..., 3:4]))
+            renders.append(grid_sample(textures, sg(rendering[..., :2])))
+        return jnp.stack(renders, axis=1), jnp.stack(alphas, axis=1)
+
+    def _build_planes(self, ws, v, noise_mode: str):
+        n_tex = self.texture_backbone.synthesis.num_ws
+        bb_ws, texture_ws = ws[:, :n_tex], ws[:, n_tex:]
+        planes = _to_planes(self.backbone.synthesis(bb_ws, noise_mode=noise_mode))
+        textures = self.texture_backbone.synthesis(texture_ws, noise_mode=noise_mode)
+        renderings, alphas = self.rasterize_orth(v, textures)
+        return renderings * alphas + planes.astype(jnp.float32) * (1 - alphas), bb_ws
+
+    def _rng(self):
+        return self.make_rng("ray") if self.has_rng("ray") else jax.random.PRNGKey(0)
+
+    def synthesis(self, ws, c, v, evaluation: bool = False, noise_mode: str = "random"):
+        rk = self.rendering_kwargs or {}
+        cam2world = c[:, :16].reshape(-1, 4, 4)
+        intrinsics = c[:, 16:25].reshape(-1, 3, 3)
+        res = self.neural_rendering_resolution
+        ray_o, ray_d = sample_rays(cam2world, intrinsics, res)
+        blended_planes, bb_ws = self._build_planes(ws, v, noise_mode)
+        feature_samples, depth_samples, _ = self.renderer(
+            blended_planes, lambda f: self.decoder(f), ray_o, ray_d, rk,
+            evaluation=evaluation, rng=self._rng(),
+        )
+        B = ws.shape[0]
+        feature_image = feature_samples.reshape(B, res, res, -1)
+        rgb_image = feature_image[..., :3]
+        sr_image = self.superresolution(
+            rgb_image, feature_image, bb_ws,
+            noise_mode=rk.get("superresolution_noise_mode", "none"),
+        )
+        return {
+            "image": sr_image,
+            "image_raw": rgb_image,
+            "image_depth": depth_samples.reshape(B, res, res, 1),
+        }
+
+    def sample_mixed(self, coordinates, ws, v, noise_mode: str = "random"):
+        rk = self.rendering_kwargs or {}
+        blended_planes, _ = self._build_planes(ws, v, noise_mode)
+        return self.renderer.run_model(blended_planes, lambda f: self.decoder(f), coordinates, rk)
+
+    def __call__(self, z, c, v, truncation_psi=1.0, truncation_cutoff=None,
+                 evaluation: bool = False, noise_mode: str = "random", update_emas: bool = False):
+        ws = self.mapping(z, c, truncation_psi=truncation_psi,
+                          truncation_cutoff=truncation_cutoff, update_emas=update_emas)
+        return self.synthesis(ws, c, v, evaluation=evaluation, noise_mode=noise_mode)
+
+
 class Next3DTriPlaneGenerator(nn.Module):
     """next3d_triplane.py:41-367 TriPlaneGenerator."""
 

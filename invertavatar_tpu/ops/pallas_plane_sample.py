@@ -85,17 +85,23 @@ def _kernel(
     ly = gy_ref[0, 0, :] - ys_f  # [P] window-local continuous coords
     lx = gx_ref[0, 0, :] - xs_f
 
-    # y tent weights [P, win_r], masked to the plane
+    # Tent weights are computed COMPACT ([P, win]) on the VPU — the lane-
+    # expanded [P, win*C] form is produced by a constant 0/1 expander matmul
+    # on the MXU; materializing it elementwise was the per-step bottleneck.
     iy = jax.lax.broadcasted_iota(jnp.int32, (P, win_r), 1).astype(jnp.float32)
     ohy = jnp.maximum(0.0, 1.0 - jnp.abs(iy - ly[:, None]))
     ay = iy + ys_f
     ohy = ohy * ((ay >= 0.0) & (ay < H)).astype(jnp.float32)
 
-    # x tent weights expanded along lanes [P, win_c*C]: lane j covers (x=j//C, c=j%C)
-    jx = (jax.lax.broadcasted_iota(jnp.int32, (P, win_c * C), 1) // C).astype(jnp.float32)
-    ohx = jnp.maximum(0.0, 1.0 - jnp.abs(jx - lx[:, None]))
-    axp = jx + xs_f
-    ohx = ohx * ((axp >= 0.0) & (axp < W)).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (P, win_c), 1).astype(jnp.float32)
+    ohx_small = jnp.maximum(0.0, 1.0 - jnp.abs(ix - lx[:, None]))
+    axp = ix + xs_f
+    ohx_small = ohx_small * ((axp >= 0.0) & (axp < W)).astype(jnp.float32)
+
+    # x expander [win_c, win_c*C]: E[x, j] = 1 iff j//C == x
+    jx_e = jax.lax.broadcasted_iota(jnp.int32, (win_c, win_c * C), 1) // C
+    x_e = jax.lax.broadcasted_iota(jnp.int32, (win_c, win_c * C), 0)
+    expander = (jx_e == x_e).astype(dt)
 
     # lane -> channel selector [win_c*C, C]
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (win_c * C, C), 0) % C
@@ -105,6 +111,12 @@ def _kernel(
     dma(g, slot).wait()
     blk = win[slot]  # [win_r, win_c*C]
     prec = jax.lax.Precision.HIGHEST if exact else None
+    ohx = jax.lax.dot_general(
+        ohx_small.astype(dt), expander,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # [P, win_c*C]
     tmp = jax.lax.dot_general(
         ohy.astype(dt), blk,
         dimension_numbers=(((1,), (0,)), ((), ())),

@@ -276,3 +276,34 @@ def test_next3d_generator_smoke():
     assert out["image_raw"].shape == (B, 32, 32, 3)
     for k in ("image", "image_raw", "image_depth"):
         assert np.all(np.isfinite(np.asarray(out[k]))), k
+
+
+@pytest.mark.slow
+def test_legacy_triplane_generator_smoke():
+    from invertavatar_tpu.camera import fov_to_intrinsics, lookat_camera_pose
+    from invertavatar_tpu.models.next3d import LegacyTriPlaneGenerator
+
+    verts, topo = _sphere_topology()
+    B = 1
+    G = LegacyTriPlaneGenerator(
+        z_dim=32, c_dim=25, w_dim=512, img_resolution=128, img_channels=3,
+        topology=topo, rendering_kwargs=RENDER_KWARGS_NEXT3D,
+        neural_rendering_resolution=32, channel_base=512, channel_max=64,
+        num_fp16_res=0, map_num_layers=2, faces_per_tile=512,
+    )
+    rng = np.random.RandomState(1)
+    v = jnp.asarray(verts)[None]
+    c2w = np.asarray(lookat_camera_pose(None, np.pi / 2, np.pi / 2,
+                                        jnp.array([0.0, 0.0, 0.0]), radius=2.7, batch_size=B))
+    K = np.tile(np.asarray(fov_to_intrinsics(18.837))[None], (B, 1, 1))
+    c = jnp.asarray(np.concatenate([c2w.reshape(B, 16), K.reshape(B, 9)], axis=1).astype(np.float32))
+    z = jnp.asarray(rng.randn(B, 32).astype(np.float32))
+
+    keys = jax.random.PRNGKey(0)
+    init_rngs = {"params": keys, "buffers": jax.random.fold_in(keys, 1),
+                 "noise": jax.random.fold_in(keys, 2), "ray": jax.random.fold_in(keys, 3)}
+    variables = G.init(init_rngs, z, c, v, noise_mode="const")
+    out = G.apply(variables, z, c, v, noise_mode="const", rngs={"ray": jax.random.PRNGKey(5)})
+    assert out["image"].shape == (B, 128, 128, 3)
+    for k in ("image", "image_raw", "image_depth"):
+        assert np.all(np.isfinite(np.asarray(out[k]))), k

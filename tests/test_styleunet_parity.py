@@ -70,3 +70,95 @@ def test_cond_synthesis_with_gru_parity():
     variables = convert_state_dict(state_dict_from_torch_module(net_t))
     img, r = net_j.apply(variables, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))), None)
     np.testing.assert_allclose(nchw(img), img_ref.numpy(), atol=2e-3)
+
+
+def test_cond_synthesis_plain_residual_parity():
+    torch.manual_seed(2)
+    from encoder_inversion.models.networks_styleunet import CondSynthesisNetwork as RefNet
+
+    from invertavatar_tpu.models.encoders.styleunet import CondSynthesisNetwork
+
+    kw = dict(img_resolution=64, img_channels=3, cond_channels=3, in_size=32,
+              final_size=4, channel_base=512, channel_max=64, num_cond_res=32)
+    net_t = RefNet(residual_arch=True, **kw)
+    net_t.eval()
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = net_t(torch.tensor(x), return_list=False).numpy()
+
+    net_j = CondSynthesisNetwork(residual_arch=True, **kw)
+    variables = convert_state_dict(state_dict_from_torch_module(net_t))
+    out = net_j.apply(variables, nhwc(x))
+    np.testing.assert_allclose(nchw(out), ref, atol=2e-3)
+
+
+def test_cond_synthesis_new_parity():
+    torch.manual_seed(3)
+    from encoder_inversion.models.networks_styleunet import CondSynthesisNetwork_new as RefNet
+
+    from invertavatar_tpu.models.encoders.styleunet import CondSynthesisNetworkNew
+
+    kw = dict(img_resolution=64, img_channels=8, cond_channels=5, in_size=64,
+              final_size=4, channel_base=512, channel_max=64, num_cond_res=64)
+    net_t = RefNet(**kw)
+    net_t.eval()
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 5, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref = net_t(torch.tensor(x), return_list=True)
+
+    net_j = CondSynthesisNetworkNew(**kw)
+    variables = convert_state_dict(state_dict_from_torch_module(net_t))
+    out = net_j.apply(variables, nhwc(x), return_list=True)
+    assert len(out) == len(ref)
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(nchw(o), r.numpy(), atol=2e-3)
+
+
+def test_cond_synthesis_convfusion_parity():
+    torch.manual_seed(4)
+    from encoder_inversion.models.networks_styleunet import (
+        CondSynthesisNetwork_withConvFusion as RefNet,
+    )
+
+    from invertavatar_tpu.models.encoders.styleunet import CondSynthesisNetworkWithConvFusion
+
+    kw = dict(img_resolution=64, img_channels=8, cond_channels=3, in_size=32,
+              final_size=4, channel_base=512, channel_max=64, num_cond_res=32)
+    net_t = RefNet(**kw)
+    net_t.eval()
+    rng = np.random.RandomState(4)
+    x = rng.randn(1, 4, 3, 32, 32).astype(np.float32)  # T=4 (conv_fusion is built for T=4)
+    with torch.no_grad():
+        ref, _ = net_t(torch.tensor(x), return_list=False)
+
+    net_j = CondSynthesisNetworkWithConvFusion(**kw)
+    variables = convert_state_dict(state_dict_from_torch_module(net_t))
+    out, _ = net_j.apply(variables, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))))
+    np.testing.assert_allclose(nchw(out), ref.numpy(), atol=2e-3)
+
+
+def test_cond_synthesis_sft_parity():
+    torch.manual_seed(5)
+    from encoder_inversion.models.networks_styleunet import CondSynthesisNetwork_SFT as RefNet
+
+    from invertavatar_tpu.models.encoders.styleunet import CondSynthesisNetworkSFT
+
+    kw = dict(img_resolution=64, img_channels=8, cond_channels=3, in_size=32,
+              final_size=4, channel_base=512, channel_max=64, num_cond_res=32)
+    net_t = RefNet(use_gru=True, **kw)
+    net_t.eval()
+    rng = np.random.RandomState(5)
+    x = rng.randn(1, 2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref, _ = net_t(torch.tensor(x), r_list=None)
+
+    net_j = CondSynthesisNetworkSFT(**kw)
+    variables = convert_state_dict(state_dict_from_torch_module(net_t))
+    out, _ = net_j.apply(variables, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))))
+    assert set(out.keys()) == set(ref.keys())
+    for res in ref:
+        # reference stacks (scale, shift) along dim0
+        np.testing.assert_allclose(nchw(out[res][0]), ref[res][0].numpy(), atol=2e-3)
+        np.testing.assert_allclose(nchw(out[res][1]), ref[res][1].numpy(), atol=2e-3)
