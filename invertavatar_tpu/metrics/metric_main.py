@@ -79,3 +79,59 @@ def kid50k_full(dataset=None, sample_fn=None, detector_fn=None, max_real=1000000
         got += imgs.shape[0]
     gen_feats = np.concatenate(gen_feats)[:num_gen]
     return {"kid50k_full": compute_kid(real_feats, gen_feats)}
+
+
+@register_metric
+def is50k(sample_fn=None, prob_detector_fn=None, num_gen=50000, num_splits=10):
+    """Inception score (reference metric_main.py:161-165 + inception_score.py);
+    `prob_detector_fn(uint8_images) -> class probabilities [N, 1008]`."""
+    import numpy as np
+
+    from .extra import compute_is
+    from .fid import to_uint8
+
+    rng = np.random.RandomState(0)
+    probs = []
+    got = 0
+    while got < num_gen:
+        imgs = sample_fn(8, rng)
+        probs.append(prob_detector_fn(to_uint8(imgs)))
+        got += imgs.shape[0]
+    mean, std = compute_is(np.concatenate(probs)[:num_gen], num_splits)
+    return {"is50k_mean": mean, "is50k_std": std}
+
+
+@register_metric
+def pr50k3_full(dataset=None, sample_fn=None, detector_fn=None, max_real=200000,
+                num_gen=50000, nhood_size=3):
+    """Improved precision/recall (metric_main.py:105-109 + precision_recall.py)."""
+    import numpy as np
+
+    from .extra import compute_pr
+    from .fid import to_uint8
+
+    n_real = min(len(dataset), max_real)
+    real = np.concatenate(
+        [detector_fn(np.stack([dataset[i]["image"] for i in range(s, min(s + 16, n_real))]))
+         for s in range(0, n_real, 16)]
+    )
+    rng = np.random.RandomState(0)
+    gen, got = [], 0
+    while got < num_gen:
+        imgs = sample_fn(8, rng)
+        gen.append(detector_fn(to_uint8(imgs)))
+        got += imgs.shape[0]
+    res = compute_pr(real, np.concatenate(gen)[:num_gen], nhood_size=nhood_size)
+    return {"pr50k3_full_precision": res["precision"], "pr50k3_full_recall": res["recall"]}
+
+
+@register_metric
+def ppl2_wend(mapping_fn=None, synth_fn=None, lpips_fn=None, z_dim=512,
+              c_sampler=None, num_samples=50000, batch_size=8):
+    """PPL, w-space endpoints (metric_main.py:112-115 + perceptual_path_length.py)."""
+    from .extra import compute_ppl
+
+    val = compute_ppl(mapping_fn, synth_fn, lpips_fn, z_dim, c_sampler,
+                      num_samples=num_samples, epsilon=1e-4, space="w",
+                      sampling="end", batch_size=batch_size)
+    return {"ppl2_wend": val}

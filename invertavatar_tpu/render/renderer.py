@@ -31,6 +31,7 @@ from ..ops.plane_sample import (
     pad_planes_for_patch,
     sample_planes_coarse_windowed,
 )
+from .math_utils import get_ray_limits_box
 from .ray_marcher import mip_ray_march
 
 # generate_planes (renderer.py:30-48) returns the INVERSES of the three plane
@@ -141,16 +142,24 @@ class ImportanceRenderer:
         evaluation: bool = False,
         rng: Optional[jax.Array] = None,
     ):
-        rs, re = options.get("ray_start", "auto"), options.get("ray_end", "auto")
+        rs, re = options.get("ray_start", None), options.get("ray_end", None)
         if isinstance(rs, (int, float)) and isinstance(re, (int, float)):
             # fixed near/far from the config (renderer_next3d.py:111-115)
             ray_start, ray_end = float(rs), float(re)
+        elif rs == "auto" and re == "auto":
+            # per-ray box intersection (renderer_next3d.py:103-109 +
+            # math_utils.get_ray_limits_box); invalid rays take the valid min
+            ray_start, ray_end = get_ray_limits_box(
+                ray_origins, ray_directions, options["box_warp"]
+            )  # [B, R, 1]
+            valid = ray_end > ray_start
+            vmin = jnp.min(jnp.where(valid, ray_start, jnp.inf))
+            vmax = jnp.max(jnp.where(valid, ray_start, -jnp.inf))
+            ray_start = jnp.where(valid, ray_start, vmin)[..., None]  # [B, R, 1, 1]
+            ray_end = jnp.where(valid, ray_end, vmax)[..., None]
         else:
-            # dynamic near/far from mean camera distance (renderer.py:311-313);
-            # also used as the stand-in for the reference's 'auto' per-ray box
-            # intersection (math_utils.get_ray_limits_box) — the head sits well
-            # inside the box for every shipped config, where both give the
-            # same covered interval.
+            # dynamic near/far from mean camera distance — the shipped
+            # ImportanceRenderer_bsMotion behavior (renderer.py:311-313)
             dist = jnp.mean(jnp.linalg.norm(ray_origins, axis=-1))
             ray_start, ray_end = dist - 0.45, dist + 0.6
 
@@ -215,6 +224,9 @@ class ImportanceRenderer:
         def run(depths, structured=False):
             n = depths.shape[2]
             coords = ray_origins[:, :, None, :] + depths * ray_directions[:, :, None, :]
+            if options.get("flip_z", False):
+                # legacy EG3D renderer variant (renderer.py:181-182)
+                coords = coords * jnp.asarray([1.0, 1.0, -1.0])
             if structured and windowed_ok:
                 feats = sample_feats_coarse(coords)
             else:
@@ -257,6 +269,8 @@ class ImportanceRenderer:
 
     def run_model(self, planes, decoder, coordinates, options):
         """Density/color at arbitrary coords (reference renderer.py:354-363)."""
+        if options.get("flip_z", False):
+            coordinates = coordinates * jnp.asarray([1.0, 1.0, -1.0])
         feats = sample_from_planes(planes, coordinates, options["box_warp"], self.axes_inv)
         return decoder(feats)
 

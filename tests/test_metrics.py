@@ -76,3 +76,47 @@ def test_kid_same_distribution_near_zero():
     feats = rng.randn(500, 16)
     kid = compute_kid(feats[:250], feats[250:], num_subsets=10, max_subset_size=200)
     assert abs(kid) < 0.05
+
+
+def test_inception_score_math():
+    from invertavatar_tpu.metrics.extra import compute_is
+
+    rng = np.random.RandomState(0)
+    # confident, diverse predictions -> high IS; uniform -> IS == 1
+    onehot = np.eye(10)[rng.randint(0, 10, 500)] * 0.99 + 0.001
+    mean_hi, _ = compute_is(onehot, num_splits=5)
+    uniform = np.full((500, 10), 0.1)
+    mean_lo, _ = compute_is(uniform, num_splits=5)
+    assert mean_hi > 5.0 and abs(mean_lo - 1.0) < 1e-6
+
+
+def test_precision_recall_math():
+    from invertavatar_tpu.metrics.extra import compute_pr
+
+    rng = np.random.RandomState(1)
+    real = rng.randn(200, 8)
+    res_same = compute_pr(real, real + rng.randn(200, 8) * 0.01, nhood_size=3)
+    res_far = compute_pr(real, real + 100.0, nhood_size=3)
+    assert res_same["precision"] > 0.95 and res_same["recall"] > 0.95
+    assert res_far["precision"] < 0.05 and res_far["recall"] < 0.05
+
+
+def test_ppl_linear_generator():
+    from invertavatar_tpu.metrics.extra import compute_ppl
+
+    W = np.random.RandomState(2).randn(16, 48).astype(np.float32)
+
+    def mapping(z, c):
+        return np.tile((z @ np.eye(16, 16, dtype=np.float32))[:, None], (1, 3, 1))
+
+    def synth(w, c):
+        return (w[:, 0] @ W).reshape(-1, 4, 4, 3)
+
+    def lpips(a, b):
+        return np.mean(np.square(a - b), axis=(1, 2, 3))
+
+    val = compute_ppl(mapping, synth, lpips, z_dim=16,
+                      c_sampler=lambda n, r: np.zeros((n, 1)),
+                      num_samples=64, batch_size=8)
+    # linear generator: d = ||(w1-w0) @ W||²·eps²/eps² -> finite, positive
+    assert np.isfinite(val) and val > 0

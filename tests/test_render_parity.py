@@ -174,3 +174,57 @@ def test_importance_renderer_parity(monkeypatch):
     np.testing.assert_allclose(np.asarray(rgb), rgb_ref.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(depth), depth_ref.numpy(), atol=1e-3)
     np.testing.assert_allclose(np.asarray(wsum), w_ref.numpy(), atol=1e-4)
+
+
+def test_get_ray_limits_box():
+    """Slab test vs a brute-force numpy port of math_utils.py:46-98."""
+    from invertavatar_tpu.render.math_utils import get_ray_limits_box
+
+    rng = np.random.RandomState(0)
+    o = rng.randn(2, 64, 3).astype(np.float32) * 2
+    d = rng.randn(2, 64, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    start, end = get_ray_limits_box(jnp.asarray(o), jnp.asarray(d), 1.0)
+    start, end = np.asarray(start)[..., 0], np.asarray(end)[..., 0]
+
+    # brute force: march t densely; box hit interval
+    t = np.linspace(-10, 10, 20001, dtype=np.float64)
+    pts = o[..., None, :] + t[:, None] * d[..., None, :]  # [2,64,T,3]
+    inside = np.all(np.abs(pts) <= 0.5 + 1e-9, axis=-1)
+    for b in range(2):
+        for r in range(64):
+            hits = t[inside[b, r]]
+            if len(hits) > 1:
+                assert abs(start[b, r] - hits.min()) < 2e-3, (b, r)
+                assert abs(end[b, r] - hits.max()) < 2e-3
+            else:
+                assert end[b, r] < start[b, r]  # marked invalid
+
+
+def test_renderer_auto_box_bounds_and_flip_z():
+    """'auto' per-ray bounds and flip_z run end-to-end and differ from default."""
+    from invertavatar_tpu.render.renderer import ImportanceRenderer
+
+    rng = np.random.RandomState(1)
+    planes = jnp.asarray(rng.randn(1, 3, 32, 32, 4).astype(np.float32))
+    res = 8
+    o = np.tile(np.array([0.0, 0.0, 2.7], np.float32), (1, res * res, 1))
+    yy, xx = np.mgrid[0:res, 0:res].astype(np.float32) / res - 0.5
+    d = np.stack([xx * 0.4, yy * 0.4, -np.ones_like(xx)], -1).reshape(1, -1, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    def dec(feats):
+        x = jnp.mean(feats, axis=1)
+        return {"rgb": jax.nn.sigmoid(x[..., 1:]), "sigma": x[..., :1]}
+
+    opts = {"depth_resolution": 6, "depth_resolution_importance": 6, "box_warp": 1.0,
+            "det_stratified": True, "fast_sampling": False}
+    r = ImportanceRenderer()
+    rgb_a, _, _ = r(planes, dec, jnp.asarray(o), jnp.asarray(d),
+                    dict(opts, ray_start="auto", ray_end="auto"), evaluation=True)
+    rgb_h, _, _ = r(planes, dec, jnp.asarray(o), jnp.asarray(d), opts, evaluation=True)
+    rgb_f, _, _ = r(planes, dec, jnp.asarray(o), jnp.asarray(d),
+                    dict(opts, flip_z=True), evaluation=True)
+    for arr in (rgb_a, rgb_h, rgb_f):
+        assert np.all(np.isfinite(np.asarray(arr)))
+    assert np.abs(np.asarray(rgb_f) - np.asarray(rgb_h)).max() > 1e-6
