@@ -30,6 +30,10 @@ FLAGSHIP_RENDERING_KWARGS = {
     "avg_camera_radius": 2.7,
     "avg_camera_pivot": [0, 0, 0.2],
     "det_stratified": True,
+    # TPU fast path: coarse-pass tri-plane sampling through the Pallas
+    # windowed kernel (bf16 payload, ~4e-3 max rgb deviation, ~35% faster
+    # frames — docs/PERF_NOTES.md). Ignored off-TPU (exact patch gather).
+    "pallas_coarse": True,
 }
 
 

@@ -28,19 +28,21 @@ def _max_pool_3x3s2p1(x):
 
 
 class Bottleneck(nn.Module):
-    """torchvision Bottleneck (expansion 4)."""
+    """torchvision Bottleneck (expansion 4); `dilation` matches torchvision's
+    replace_stride_with_dilation used by the DeepLab backbones."""
 
     in_ch: int
     planes: int
     stride: int = 1
     has_downsample: bool = False
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out = Conv2d(self.in_ch, self.planes, 1, padding=0, use_bias=False, name="conv1")(x)
         out = jax.nn.relu(BatchNorm(self.planes, name="bn1")(out, train))
-        out = Conv2d(self.planes, self.planes, 3, stride=self.stride, padding=1,
-                     use_bias=False, name="conv2")(out)
+        out = Conv2d(self.planes, self.planes, 3, stride=self.stride, padding=self.dilation,
+                     dilation=self.dilation, use_bias=False, name="conv2")(out)
         out = jax.nn.relu(BatchNorm(self.planes, name="bn2")(out, train))
         out = Conv2d(self.planes, self.planes * 4, 1, padding=0, use_bias=False, name="conv3")(out)
         out = BatchNorm(self.planes * 4, name="bn3")(out, train)
@@ -67,13 +69,16 @@ class _Layer(nn.Module):
     planes: int
     blocks: int
     stride: int
+    first_dilation: int = 1  # torchvision replace_stride_with_dilation semantics
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = Bottleneck(self.in_ch, self.planes, stride=self.stride,
-                       has_downsample=True, name="0")(x, train)
+                       has_downsample=True, dilation=self.first_dilation, name="0")(x, train)
         for i in range(1, self.blocks):
-            x = Bottleneck(self.planes * 4, self.planes, name=str(i))(x, train)
+            x = Bottleneck(self.planes * 4, self.planes, dilation=self.dilation,
+                           name=str(i))(x, train)
         return x
 
 

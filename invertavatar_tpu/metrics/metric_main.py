@@ -135,3 +135,33 @@ def ppl2_wend(mapping_fn=None, synth_fn=None, lpips_fn=None, z_dim=512,
                       num_samples=num_samples, epsilon=1e-4, space="w",
                       sampling="end", batch_size=batch_size)
     return {"ppl2_wend": val}
+
+
+def _eq(num_samples=50000, **flags):
+    def metric(synthesis_fn=None, mapping_fn=None, z_dim=512, c_sampler=None,
+               img_resolution=512, num_samples=num_samples, batch_size=4):
+        from .equivariance import compute_equivariance_metrics
+
+        return compute_equivariance_metrics(
+            synthesis_fn, mapping_fn, z_dim, c_sampler, img_resolution,
+            num_samples=num_samples, batch_size=batch_size, **flags,
+        )
+    return metric
+
+
+@register_metric
+def eqt50k_int(**kw):
+    """EQ-T integer-translation PSNR (reference metric_main.py:117-120)."""
+    return {"eqt50k_int": _eq(compute_eqt_int=True)(**kw)}
+
+
+@register_metric
+def eqt50k_frac(**kw):
+    """EQ-T fractional-translation PSNR (metric_main.py:122-126)."""
+    return {"eqt50k_frac": _eq(compute_eqt_frac=True)(**kw)}
+
+
+@register_metric
+def eqr50k(**kw):
+    """EQ-R rotation PSNR (metric_main.py:128-132)."""
+    return {"eqr50k": _eq(compute_eqr=True)(**kw)}

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 
-def torch_conv(x, w, b=None, stride=1, padding=1):
+def torch_conv(x, w, b=None, stride=1, padding=1, dilation=1, groups=1):
     """Plain torch-conv semantics (correlation, symmetric int padding), NHWC/HWIO."""
     precision = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
@@ -26,6 +26,8 @@ def torch_conv(x, w, b=None, stride=1, padding=1):
         w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
+        feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
     )
@@ -43,13 +45,15 @@ class Conv2d(nn.Module):
     stride: int = 1
     padding: int = 1
     use_bias: bool = True
+    dilation: int = 1
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x):
         w = self.param(
             "weight",
             nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform", in_axis=(0, 1, 2)),
-            (self.kernel, self.kernel, self.in_ch, self.out_ch),
+            (self.kernel, self.kernel, self.in_ch // self.groups, self.out_ch),
             jnp.float32,
         )
         b = (
@@ -57,7 +61,8 @@ class Conv2d(nn.Module):
             if self.use_bias
             else None
         )
-        return torch_conv(x, w, b, stride=self.stride, padding=self.padding)
+        return torch_conv(x, w, b, stride=self.stride, padding=self.padding,
+                          dilation=self.dilation, groups=self.groups)
 
 
 class Linear(nn.Module):

@@ -170,6 +170,10 @@ class TriPlanefeatEncoder(nn.Module):
     inp_ch: int = 7
     res: Optional[int] = 256
     use_gru: bool = True
+    # offset channels for the texture taps [img32, x32, x64, x128] — the
+    # flagship generator widths (unet_encoders.py:131-134); configurable so
+    # tiny test generators can be driven end-to-end
+    out_channels: Tuple[int, int, int, int] = (32, 512, 512, 256)
 
     @nn.compact
     def __call__(self, x, r_list=None, train: bool = False):
@@ -181,6 +185,7 @@ class TriPlanefeatEncoder(nn.Module):
         xf, feats = trunk_layers(self.inp_ch, (2, 6, 20, 21), x, train)
         c0, c1, c2, c3 = feats[2], feats[6], feats[20], feats[21]
 
+        oc = self.out_channels
         if r_list is None:
             r_list = [None] * 4
         new_r = [None] * 4
@@ -188,22 +193,22 @@ class TriPlanefeatEncoder(nn.Module):
         if self.use_gru:
             tp, new_r[0] = RecurrentUp(1024, 512, upscale=1, name="up1")(xf, c3, T, r_list[0], train=train)
             tp, new_r[1] = RecurrentUp(384, 384, name="up2")(_expand_T(tp, T), c2, T, r_list[1], train=train)
-            out.append(Conv2d(384, 32, kernel=1, padding=0, name="outconv0")(tp))
-            out.append(Conv2d(384, 512, kernel=1, padding=0, name="outconv1")(tp))
+            out.append(Conv2d(384, oc[0], kernel=1, padding=0, name="outconv0")(tp))
+            out.append(Conv2d(384, oc[1], kernel=1, padding=0, name="outconv1")(tp))
             tp, new_r[2] = RecurrentUp(224, 256, name="up3")(_expand_T(tp, T), c1, T, r_list[2], train=train)
-            out.append(Conv2d(256, 512, kernel=1, padding=0, name="outconv2")(tp))
+            out.append(Conv2d(256, oc[2], kernel=1, padding=0, name="outconv2")(tp))
             tp, new_r[3] = RecurrentUp(128, 96, name="up4")(_expand_T(tp, T), c0, T, r_list[3], train=train)
-            out.append(Conv2d(96, 256, kernel=1, padding=0, name="outconv3")(tp))
+            out.append(Conv2d(96, oc[3], kernel=1, padding=0, name="outconv3")(tp))
             return out, new_r
         else:
             tp = Up(1024, 512, upscale=1, name="up1")(xf, c3, train=train)
             tp = Up(384, 384, name="up2")(tp, c2, train=train)
-            out.append(Conv2d(384, 32, kernel=1, padding=0, name="outconv0")(tp))
-            out.append(Conv2d(384, 512, kernel=1, padding=0, name="outconv1")(tp))
+            out.append(Conv2d(384, oc[0], kernel=1, padding=0, name="outconv0")(tp))
+            out.append(Conv2d(384, oc[1], kernel=1, padding=0, name="outconv1")(tp))
             tp = Up(224, 256, name="up3")(tp, c1, train=train)
-            out.append(Conv2d(256, 512, kernel=1, padding=0, name="outconv2")(tp))
+            out.append(Conv2d(256, oc[2], kernel=1, padding=0, name="outconv2")(tp))
             tp = Up(128, 96, name="up4")(tp, c0, train=train)
-            out.append(Conv2d(96, 256, kernel=1, padding=0, name="outconv3")(tp))
+            out.append(Conv2d(96, oc[3], kernel=1, padding=0, name="outconv3")(tp))
             return out, None
 
 
@@ -237,6 +242,10 @@ class TriPlaneSFTfeatEncoder(nn.Module):
     res: Optional[int] = 256
     use_gru: bool = True
     sft_half: bool = True
+    # generator channel scheme the (scale, shift) widths follow — flagship
+    # defaults; configurable for tiny test generators
+    channel_base: int = 32768
+    channel_max: int = 512
 
     @nn.compact
     def __call__(self, x, r_list=None, train: bool = False):
@@ -249,7 +258,9 @@ class TriPlaneSFTfeatEncoder(nn.Module):
         c0, c1, c2, c3 = feats[2], feats[6], feats[20], feats[21]
 
         body_out = {16: 512, 32: 384, 64: 256, 128: 96, 256: 96}
-        channels_dict = {r: min(32768 // r, 512) for r in (16, 32, 64, 128, 256)}
+        channels_dict = {
+            r: min(self.channel_base // r, self.channel_max) for r in (16, 32, 64, 128, 256)
+        }
 
         def heads(res, tp):
             out_ch = channels_dict[res] // 2 if self.sft_half else channels_dict[res]

@@ -34,16 +34,24 @@ class UnetEncoderPair(nn.Module):
     encoding_texture: bool = True
     encoding_triplane: bool = True
     unet_type: str = "gru"  # 'gru' (few-shot) | 'segformer' (improved one-shot)
+    # flagship generator widths; configurable so tiny test generators can be
+    # driven through the full few-shot graph
+    texture_out_channels: Tuple[int, int, int, int] = (32, 512, 512, 256)
+    channel_base: int = 32768
+    channel_max: int = 512
 
     def setup(self):
         if self.unet_type == "gru":
             self.texture_unet = (
-                TriPlanefeatEncoder(inp_ch=7, res=256, use_gru=True)
+                TriPlanefeatEncoder(inp_ch=7, res=256, use_gru=True,
+                                    out_channels=self.texture_out_channels)
                 if self.encoding_texture
                 else None
             )
             self.triplane_unet = (
-                TriPlaneSFTfeatEncoder(inp_ch=6, res=256, use_gru=True)
+                TriPlaneSFTfeatEncoder(inp_ch=6, res=256, use_gru=True,
+                                       channel_base=self.channel_base,
+                                       channel_max=self.channel_max)
                 if self.encoding_triplane
                 else None
             )
@@ -74,12 +82,17 @@ class InversionNet(nn.Module):
     encoding_texture: bool = True
     encoding_triplane: bool = True
     unet_type: str = "gru"  # 'gru' = few-shot (uvnet.py) | 'segformer' = one-shot (uvnet_new.py)
+    texture_out_channels: Tuple[int, int, int, int] = (32, 512, 512, 256)
 
     def setup(self):
-        self.generator = TriPlaneGenerator(**dict(self.generator_cfg))
+        gen_cfg = dict(self.generator_cfg)
+        self.generator = TriPlaneGenerator(**gen_cfg)
         self.encoder = Encoder4Editing(n_styles=self.n_styles, inp_ch=3)
         self.unet_encoder = UnetEncoderPair(
-            self.encoding_texture, self.encoding_triplane, unet_type=self.unet_type
+            self.encoding_texture, self.encoding_triplane, unet_type=self.unet_type,
+            texture_out_channels=self.texture_out_channels,
+            channel_base=gen_cfg.get("channel_base", 32768),
+            channel_max=gen_cfg.get("channel_max", 512),
         )
         self.latent_avg = self.variable(
             "buffers", "latent_avg", lambda: jnp.zeros((1, 512), jnp.float32)

@@ -205,7 +205,12 @@ class TriPlaneGenerator(nn.Module):
     def _render_core(
         self, ws, c, rendering_stitch, full_alpha, static_plane, evaluation, noise_mode, rng
     ):
-        rk = self.rendering_kwargs or {}
+        rk = dict(self.rendering_kwargs or {})
+        # the shipped ImportanceRenderer_bsMotion ignores the config's numeric
+        # ray_start/ray_end and always uses the ‖ray_o‖-based bounds
+        # (renderer.py:311-313); strip them so the shared renderer does too
+        rk.pop("ray_start", None)
+        rk.pop("ray_end", None)
         cam = c[:, -25:]
         cam2world = cam[:, :16].reshape(-1, 4, 4)
         intrinsics = cam[:, 16:25].reshape(-1, 3, 3)

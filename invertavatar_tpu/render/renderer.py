@@ -194,9 +194,12 @@ class ImportanceRenderer:
         # under XLA (per-s lax.map + regrouping transposes dominate); it maps
         # naturally onto a Pallas kernel (block DMA + MXU contraction) and is
         # kept behind options['windowed_coarse'] for that follow-up.
+        _pallas_on = (
+            options.get("pallas_coarse", False) and jax.devices()[0].platform == "tpu"
+        )
         windowed_ok = (
             fast
-            and options.get("windowed_coarse", False)
+            and (options.get("windowed_coarse", False) or _pallas_on)
             and res * res == R
             and res % tile == 0
             and tile >= 8
@@ -216,9 +219,22 @@ class ImportanceRenderer:
             S_ = coords.shape[2]
             proj = project_onto_planes(scaled.reshape(Bp, -1, 3), self.axes_inv)  # [B, 3, R*S, 2]
             proj = proj.reshape(Bp * n_planes, R, S_, 2)
-            out = sample_planes_coarse_windowed(
-                planes_flat, proj, res=res, tile=tile, window=window
-            )
+            if _pallas_on:
+                # Pallas windowed kernel: ~2x the patch gather on the
+                # structured coarse pass; bf16 payload (~1e-2 abs feature
+                # error) unless options['pallas_exact'] requests fp32/HIGHEST
+                from ..ops.pallas_plane_sample import sample_planes_windowed_pallas
+
+                exact = options.get("pallas_exact", False)
+                out = sample_planes_windowed_pallas(
+                    planes_flat, proj, res=res, tile=tile, window=window,
+                    payload_dtype=jnp.float32 if exact else jnp.bfloat16,
+                    exact=exact,
+                )
+            else:
+                out = sample_planes_coarse_windowed(
+                    planes_flat, proj, res=res, tile=tile, window=window
+                )
             return out.reshape(Bp, n_planes, R * S_, Cp_)
 
         def run(depths, structured=False):

@@ -26,6 +26,7 @@ from .inversion import (
     InversionLossWeights,
     e4e_igen_loss,
     e4e_ireal_loss,
+    fewshot_igen_loss,
     fewshot_ireal_loss,
     oneshot_d_loss,
     oneshot_igen_loss,
@@ -456,7 +457,7 @@ def make_fewshot_train_step(
     """One step = Ireal on a real clip + Igen on a synthetic clip
     (training_loop_video.py:404-429 alternation collapsed into one update)."""
 
-    def step(state: TrainState, batch: Dict, rng):
+    def step(state: TrainState, batch: Dict, rng, do_igen: bool = False):
         rngs = {"noise": jax.random.fold_in(rng, 0), "ray": jax.random.fold_in(rng, 1)}
 
         def loss_fn(params):
@@ -469,9 +470,19 @@ def make_fewshot_train_step(
                     rngs=rngs,
                 )
 
+            inv_run_seq = lambda f, c, v, uv, ws: run_seq(
+                f, c, {"uvcoords_image": v["uvcoords_image"]}, uv, ws
+            )
+            if do_igen:
+                # Igen: self-supervised on a synthetic clip (video_loss.py:373-425)
+                gens = _fewshot_gen_closures(I_module, variables, rngs)
+                total, aux = fewshot_igen_loss(
+                    inv_run_seq, *gens, lpips_fn, weights,
+                    batch["z"], batch["c"], batch["v"], batch["uv"],
+                )
+                return total, {f"Igen/{k}": v for k, v in aux.items()}
             total, aux = fewshot_ireal_loss(
-                lambda f, c, v, uv, ws: run_seq(f, c, {"uvcoords_image": v["uvcoords_image"]}, uv, ws),
-                lpips_fn, weights,
+                inv_run_seq, lpips_fn, weights,
                 batch["image"], batch["c"], batch["v"], batch["uv"],
             )
             return total, {f"Ireal/{k}": v for k, v in aux.items()}
@@ -479,5 +490,107 @@ def make_fewshot_train_step(
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         return TrainState(optax.apply_updates(state.params, updates), opt_state, state.buffers), aux
+
+    return step
+
+
+def _fewshot_gen_closures(I_module, variables, rngs):
+    """(gen_mapping, gen_synth_with_feats, gen_tex_feats, gen_static_feats)
+    over the frozen generator (video_loss.py:482-495)."""
+
+    def gen_mapping(z, c, truncation_psi=1.0):
+        return I_module.apply(
+            variables, z, c,
+            method=lambda m, z, c: m.generator.mapping(z, c, truncation_psi=truncation_psi),
+            rngs=rngs,
+        )
+
+    def gen_tex_feats(ws):
+        return I_module.apply(
+            variables, ws,
+            method=lambda m, ws: m.generator.texture_backbone.synthesis(
+                ws, return_list=True, noise_mode="const"
+            ),
+            rngs=rngs,
+        )
+
+    def gen_static_feats(ws):
+        return I_module.apply(
+            variables, ws,
+            method=lambda m, ws: m.generator.backbone.synthesis(
+                ws, return_list=True, noise_mode="const"
+            ),
+            rngs=rngs,
+        )
+
+    def gen_synth_with_feats(ws, tex, static, vid_c, vid_v):
+        B, T = vid_c.shape[:2]
+
+        def rep(feats):
+            return [jnp.repeat(f, T, axis=0) for f in feats]
+
+        flat_c = vid_c.reshape(B * T, -1)
+        flat_v = {
+            "uvcoords_image": vid_v["uvcoords_image"].reshape(
+                B * T, *vid_v["uvcoords_image"].shape[2:]
+            )
+        }
+        return I_module.apply(
+            variables, jnp.repeat(ws, T, axis=0), rep(tex), flat_c, flat_v, rep(static),
+            method=lambda m, ws, tex, c, v, static: m.generator.synthesis_withTexture(
+                ws, tex, c, v, static_feats=static, noise_mode="const"
+            ),
+            rngs=rngs,
+        )
+
+    return gen_mapping, gen_synth_with_feats, gen_tex_feats, gen_static_feats
+
+
+def make_fewshot_d_step(
+    I_module,  # InversionNet
+    D_module,  # DualDiscriminator
+    d_tx: optax.GradientTransformation,
+    weights: InversionLossWeights,
+):
+    """Few-shot D phase (video_loss.py:479-526): fake = recurrent rollout on a
+    synthetic clip, 'real' = the frozen generator's own render of that clip."""
+
+    def step(state: TrainState, d_state: TrainState, batch: Dict, rng, do_r1: bool = False):
+        rngs = {"noise": jax.random.fold_in(rng, 0), "ray": jax.random.fold_in(rng, 1)}
+        sg = jax.lax.stop_gradient
+        variables = {"params": state.params, **state.buffers}
+        gen_mapping, gen_synth, gen_tex, gen_static = _fewshot_gen_closures(
+            I_module, variables, rngs
+        )
+        B, T = batch["c"].shape[:2]
+        ws = sg(gen_mapping(batch["z"], batch["c"][:, 0], truncation_psi=0.6))
+        tex = [sg(f) for f in gen_tex(ws)]
+        static = [sg(f) for f in gen_static(ws)]
+        gen_out = gen_synth(ws, tex, static, batch["c"], batch["v"])
+        frames = sg(gen_out["image"]).reshape(B, T, *gen_out["image"].shape[1:])
+
+        i_out = I_module.apply(
+            variables, frames, batch["c"], batch["v"], batch["uv"], None,
+            method=lambda m, f, c, v, uv, ws: m.run_seq(f, c, v, uv, ws=ws),
+            rngs=rngs,
+        )
+        fake_pair = {"image": sg(i_out["image"]),
+                     "image_raw": sg(i_out["feature_image"][..., :3])}
+        real_pair = {"image": sg(gen_out["image"][..., :3]),
+                     "image_raw": sg(gen_out["feature_image"][..., :3])}
+
+        def d_loss_fn(d_params):
+            def d_apply(img, c):
+                return D_module.apply({"params": d_params, **d_state.buffers}, img, c, rngs=rngs)
+
+            return oneshot_d_loss(
+                d_apply, fake_pair, real_pair,
+                batch["c"].reshape(B * T, -1), weights, do_r1,
+            )
+
+        (_, aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(d_state.params)
+        d_updates, d_opt = d_tx.update(d_grads, d_state.opt_state, d_state.params)
+        new_d = TrainState(optax.apply_updates(d_state.params, d_updates), d_opt, d_state.buffers)
+        return new_d, {f"D/{k}": v for k, v in aux.items()}
 
     return step

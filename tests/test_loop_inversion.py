@@ -150,3 +150,84 @@ def test_e4e_step_tiny():
     wd0 = jax.tree_util.tree_leaves(wd_state.params)
     wd1 = jax.tree_util.tree_leaves(new_wd.params)
     assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(wd0, wd1))
+
+
+@pytest.mark.slow
+def test_fewshot_step_tiny():
+    """Ireal + Igen + D steps over the tiny generator with matched unet widths."""
+    import optax
+
+    from invertavatar_tpu.models.discriminator import DualDiscriminator
+    from invertavatar_tpu.models.encoders.uvnet import InversionNet
+    from invertavatar_tpu.train.dryrun import TINY_RENDERING_KWARGS, _fake_batch
+    from invertavatar_tpu.train.loop_inversion import (
+        make_fewshot_d_step,
+        make_fewshot_train_step,
+        masked_adam,
+        unet_decoder_trainable,
+    )
+    from invertavatar_tpu.train.state import TrainState
+
+    gen_cfg = dict(
+        z_dim=32, c_dim=25, w_dim=512, img_resolution=128, img_channels=3,
+        rendering_kwargs=dict(TINY_RENDERING_KWARGS, depth_resolution=6,
+                              depth_resolution_importance=6),
+        neural_rendering_resolution=32, channel_base=1024, channel_max=64,
+        map_num_layers=2,
+    )
+    # tiny texture taps: [img32(32ch), x32(32), x64(16), x128(8)]
+    net = InversionNet(generator_cfg=gen_cfg, texture_out_channels=(32, 32, 16, 8))
+    rng = jax.random.PRNGKey(0)
+    rngs = {"params": rng, "buffers": jax.random.fold_in(rng, 1),
+            "noise": jax.random.fold_in(rng, 2), "ray": jax.random.fold_in(rng, 3)}
+
+    B, T = 1, 2
+    raw = _fake_batch(np.random.RandomState(0), batch=1, res=256, z_dim=32)
+    uvc = jnp.tile(jnp.asarray(raw["v"]["uvcoords_image"])[:, None], (1, T, 1, 1, 1))
+    batch = {
+        "image": jnp.tile(jnp.asarray(raw["image"])[:, None], (1, T, 1, 1, 1)),
+        "c": jnp.tile(jnp.asarray(raw["c"])[:, None], (1, T, 1)),
+        "v": {"uvcoords_image": uvc},
+        "uv": jnp.zeros((B, T, 256, 256, 6), jnp.float32),
+        "z": jnp.asarray(raw["z"]),
+    }
+
+    variables = net.init(
+        rngs, batch["image"], batch["c"], batch["v"], batch["uv"], None,
+        method=lambda m, f, c, v, uv, ws: m.run_seq(f, c, v, uv, ws=ws),
+    )
+    weights = InversionLossWeights(l1=1.0, lpips=0.0, id=0.0, raw_l1=1.0, tri=0.001,
+                                   lr_lpips=0.0, adv=0.01)
+    tx = masked_adam(1e-4, unet_decoder_trainable)
+    state = TrainState(variables["params"],
+                       tx.init(variables["params"]),
+                       {k: v for k, v in variables.items() if k != "params"})
+    step = jax.jit(
+        make_fewshot_train_step(net, lambda a, b: jnp.mean(jnp.abs(a - b)), tx, weights),
+        static_argnames=("do_igen",),
+    )
+    s1, aux1 = step(state, batch, jax.random.PRNGKey(1), do_igen=False)
+    s2, aux2 = step(s1, batch, jax.random.PRNGKey(2), do_igen=True)
+    for k, v in {**aux1, **aux2}.items():
+        assert np.isfinite(float(v)), k
+    # trunk frozen, decoder trains
+    t0 = jax.tree_util.tree_leaves(state.params["unet_encoder"]["texture_unet"]["body"])
+    t1 = jax.tree_util.tree_leaves(s2.params["unet_encoder"]["texture_unet"]["body"])
+    for a, b in zip(t0, t1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    d0 = jax.tree_util.tree_leaves(state.params["unet_encoder"]["texture_unet"]["up2"])
+    d1 = jax.tree_util.tree_leaves(s2.params["unet_encoder"]["texture_unet"]["up2"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(d0, d1))
+
+    # D phase
+    D = DualDiscriminator(c_dim=25, img_resolution=128, img_channels=6,
+                          channel_base=1024, channel_max=64, num_fp16_res=0)
+    d_vars = D.init(rngs, {"image": jnp.zeros((1, 128, 128, 3)),
+                           "image_raw": jnp.zeros((1, 32, 32, 3))}, jnp.zeros((1, 25)))
+    d_tx = optax.adam(2e-4)
+    d_state = TrainState(d_vars["params"], d_tx.init(d_vars["params"]),
+                         {k: v for k, v in d_vars.items() if k != "params"})
+    d_step = jax.jit(make_fewshot_d_step(net, D, d_tx, weights), static_argnames=("do_r1",))
+    new_d, d_aux = d_step(s2, d_state, batch, jax.random.PRNGKey(3), do_r1=True)
+    for k, v in d_aux.items():
+        assert np.isfinite(float(v)), k

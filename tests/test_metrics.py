@@ -120,3 +120,49 @@ def test_ppl_linear_generator():
                       num_samples=64, batch_size=8)
     # linear generator: d = ||(w1-w0) @ W||²·eps²/eps² -> finite, positive
     assert np.isfinite(val) and val > 0
+
+
+def test_equivariance_ops_parity():
+    """Translation/rotation operators vs the reference metrics/equivariance.py."""
+    import os
+    import sys
+
+    REF = "/root/reference"
+    if not os.path.isdir(REF):
+        import pytest
+
+        pytest.skip("reference not mounted")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import torch
+    from metrics import equivariance as ref_eq
+
+    from invertavatar_tpu.metrics import equivariance as my_eq
+
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 3, 32, 32).astype(np.float32)
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+    for tx, ty in [(0.07, -0.11), (0.0, 0.25)]:
+        ref_z, ref_m = ref_eq.apply_integer_translation(torch.tensor(x), tx, ty)
+        z, m = my_eq.apply_integer_translation(xj, tx, ty)
+        np.testing.assert_allclose(np.transpose(np.asarray(z), (0, 3, 1, 2)), ref_z.numpy(), atol=1e-6)
+        np.testing.assert_allclose(np.transpose(np.asarray(m), (0, 3, 1, 2)), ref_m.numpy(), atol=1e-6)
+
+        ref_z, ref_m = ref_eq.apply_fractional_translation(torch.tensor(x), tx, ty)
+        z, m = my_eq.apply_fractional_translation(xj, tx, ty)
+        np.testing.assert_allclose(np.transpose(np.asarray(z), (0, 3, 1, 2)), ref_z.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.transpose(np.asarray(m), (0, 3, 1, 2)), ref_m.numpy(), atol=1e-6)
+
+    angle = 0.3
+    ref_z, ref_m = ref_eq.apply_fractional_rotation(torch.tensor(x), angle)
+    z, m = my_eq.apply_fractional_rotation(xj, angle)
+    np.testing.assert_allclose(np.transpose(np.asarray(z), (0, 3, 1, 2)), ref_z.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.transpose(np.asarray(m), (0, 3, 1, 2)), ref_m.numpy(), atol=1e-6)
+
+    ref_z, ref_m = ref_eq.apply_fractional_pseudo_rotation(torch.tensor(x), angle)
+    z, m = my_eq.apply_fractional_pseudo_rotation(xj, angle)
+    np.testing.assert_allclose(np.transpose(np.asarray(z), (0, 3, 1, 2)), ref_z.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.transpose(np.asarray(m), (0, 3, 1, 2)), ref_m.numpy(), atol=1e-6)
