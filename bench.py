@@ -10,6 +10,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
 import sys
 import time
 

@@ -104,7 +104,12 @@ def main(argv=None):
         bb_vars = convert_state_dict(sd)
         id_fn = lambda a, b: id_loss(lambda x: bb.apply(bb_vars, x), a, b)
 
-    from ..train.loop_inversion import InversionTrainConfig, train_e4e, train_fewshot
+    from ..train.loop_inversion import (
+        InversionTrainConfig,
+        train_e4e,
+        train_fewshot,
+        train_oneshot,
+    )
 
     cfg = InversionTrainConfig(
         run_dir=args.outdir, total_kimg=args.kimg, batch_size=args.batch,
@@ -129,6 +134,31 @@ def main(argv=None):
 
         batches = prefetch_batches(dataset, sampler, args.batch, collate=collate)
         train_e4e(net, all_vars, LatentCodesDiscriminator(), batches, cfg, lpips_fn, id_fn)
+    elif args.training_state == "oneshot":
+        # interval-phase stage (reference training_loop_unet_interval.py):
+        # single-frame batches, per-unet optimizers, optional dual-D adv
+        from ..models.discriminator import DualDiscriminator
+
+        dataset = AvatarDataset(args.data, resolution=512, load_uv=True)
+        sampler = InfiniteSampler(len(dataset), seed=args.seed)
+
+        def collate_os(items):
+            return {
+                "image": np.stack([normalize_image(i["image"]) for i in items]),
+                "c": np.stack([i["c"] for i in items]),
+                "v": {"uvcoords_image": np.stack([i["uvcoords_image"] for i in items])},
+                "uv": np.stack([i["uv"] for i in items]),
+                "z": nprng.randn(len(items), 512).astype(np.float32),
+                "gen_uv": np.stack([i["uv"] for i in items]),
+            }
+
+        batches = prefetch_batches(dataset, sampler, args.batch, collate=collate_os)
+        D = (
+            DualDiscriminator(c_dim=25, img_resolution=512, img_channels=6)
+            if cfg.weights.adv > 0
+            else None
+        )
+        train_oneshot(net, all_vars, D, batches, cfg, lpips_fn, id_fn)
     else:
         dataset = VideoDataset(args.data, resolution=512, frm_per_vid=args.frm_per_vid)
 

@@ -44,7 +44,9 @@ def flagship_generator(neural_rendering_resolution: int = 128) -> TriPlaneGenera
         w_dim=512,
         img_resolution=512,
         img_channels=3,
-        sr_num_fp16_res=0,
+        # the reference trains/ships with 4 fp16 SR resolutions
+        # (train_avatar_texture.py:215); bf16 on TPU
+        sr_num_fp16_res=4,
         rendering_kwargs=dict(FLAGSHIP_RENDERING_KWARGS),
         neural_rendering_resolution=neural_rendering_resolution,
         channel_base=32768,

@@ -163,6 +163,18 @@ def _expand_T(x: jnp.ndarray, T: int) -> jnp.ndarray:
     return jnp.repeat(x, T, axis=0)
 
 
+def _fit_res(x: jnp.ndarray, res: int) -> jnp.ndarray:
+    """Pool down to `res` (the reference AdaptiveAvgPool2d path) or resize up
+    (only reachable with shrunken test generators)."""
+    if x.shape[1] == res:
+        return x
+    if x.shape[1] > res:
+        return adaptive_avg_pool(x, res)
+    from ...ops.resize import resize_bilinear
+
+    return resize_bilinear(x, (res, res))
+
+
 class TriPlanefeatEncoder(nn.Module):
     """texture_unet (unet_encoders.py:101-246). Input [B, T, 256, 256, 7] (UV
     space: uv_gttex 3 + uv_delta 3 + mask 1); output 4 offset maps + GRU states."""
@@ -180,8 +192,8 @@ class TriPlanefeatEncoder(nn.Module):
         assert x.ndim == 5, "expected [B, T, H, W, C]"
         B, T = x.shape[:2]
         x = x.reshape(B * T, *x.shape[2:])
-        if self.res is not None and x.shape[1] != self.res:
-            x = adaptive_avg_pool(x, self.res)
+        if self.res is not None:
+            x = _fit_res(x, self.res)
         xf, feats = trunk_layers(self.inp_ch, (2, 6, 20, 21), x, train)
         c0, c1, c2, c3 = feats[2], feats[6], feats[20], feats[21]
 
@@ -252,8 +264,8 @@ class TriPlaneSFTfeatEncoder(nn.Module):
         assert x.ndim == 5
         B, T = x.shape[:2]
         x = x.reshape(B * T, *x.shape[2:])
-        if self.res is not None and x.shape[1] != self.res:
-            x = adaptive_avg_pool(x, self.res)
+        if self.res is not None:
+            x = _fit_res(x, self.res)
         xf, feats = trunk_layers(self.inp_ch, (2, 6, 20, 21), x, train)
         c0, c1, c2, c3 = feats[2], feats[6], feats[20], feats[21]
 

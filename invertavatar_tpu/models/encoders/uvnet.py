@@ -104,8 +104,12 @@ class InversionNet(nn.Module):
     # ------------------------------------------------------------------ encode
     def encode(self, x, train: bool = False):
         """e4e W+ codes + latent_avg (uvnet.py:107-115). x: [B, H, W, 3]."""
-        if x.shape[1] != 256:
+        if x.shape[1] > 256:
             x = adaptive_avg_pool(x, 256)
+        elif x.shape[1] < 256:
+            # sub-256 renders only occur with shrunken test generators; the
+            # reference always feeds >=256 (AdaptiveAvgPool2d downsample)
+            x = resize_bilinear(x, (256, 256))
         codes = self.encoder(x, train=train)
         return codes + self.latent_avg.value[None]
 

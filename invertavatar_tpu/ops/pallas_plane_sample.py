@@ -170,12 +170,15 @@ def sample_planes_windowed_pallas(
     window: int = 48,
     payload_dtype=jnp.float32,
     exact: bool = True,
+    s_group: int = 1,
 ) -> jnp.ndarray:
     """Windowed bilinear sampling for structured points -> [N, R, S, C].
 
     payload_dtype=bfloat16 halves DMA traffic and runs the tent contractions
     as single-pass MXU matmuls (~1e-3 relative error); exact=False drops the
-    HIGHEST-precision (6-pass) fp32 matmuls.
+    HIGHEST-precision (6-pass) fp32 matmuls. `s_group` folds that many
+    adjacent strata into one grid step (bigger window, fewer steps — callers
+    must widen `window` by ~8 texels per extra stratum to keep exactness).
     """
     N, H, W, C = planes.shape
     R, S = grid.shape[1], grid.shape[2]
@@ -186,6 +189,11 @@ def sample_planes_windowed_pallas(
 
     g = grid.reshape(N, t_side, tile, t_side, tile, S, 2)
     g = jnp.transpose(g, (0, 1, 3, 5, 2, 4, 6)).reshape(N, T, S, P, 2)  # [N,T,S,P,2]
+    if s_group > 1:
+        assert S % s_group == 0
+        S = S // s_group
+        P = P * s_group
+        g = g.reshape(N, T, S, P, 2)
     gx = (g[..., 0].astype(jnp.float32) + 1.0) * (W * 0.5) - 0.5
     gy = (g[..., 1].astype(jnp.float32) + 1.0) * (H * 0.5) - 0.5
 
@@ -217,7 +225,9 @@ def sample_planes_windowed_pallas(
                 exact=exact and payload_dtype == jnp.float32,
             )
         )
-    out = jnp.stack(outs)  # [N, T*S, P, C]
-    out = out.reshape(N, t_side, t_side, S, tile, tile, C)
-    out = jnp.transpose(out, (0, 1, 4, 2, 5, 3, 6)).reshape(N, R, S, C)
+    out = jnp.stack(outs)  # [N, T*S_groups, P*s_group, C]
+    S_full = S * s_group
+    out = out.reshape(N, t_side, t_side, S, s_group, tile, tile, C)
+    # -> [N, (ty, py), (tx, px), (sg, g), C] row-major rays × depth
+    out = jnp.transpose(out, (0, 1, 5, 2, 6, 3, 4, 7)).reshape(N, R, S_full, C)
     return out

@@ -263,10 +263,34 @@ class ImportanceRenderer:
                 colors_coarse, densities_coarse, depths_coarse,
                 white_back=options.get("white_back", False),
             )
-            depths_fine = self._sample_importance(
-                depths_coarse, weights, n_imp, det=evaluation, rng=rng_imp
-            )
-            colors_fine, densities_fine = run(depths_fine)
+            pooled = options.get("pooled_importance", False) and windowed_ok
+            if pooled:
+                # TPU-first deviation (off by default): pool the importance
+                # weights over each ray tile so all rays in a tile share fine
+                # depths — the fine pass then has the same bounded per-block
+                # footprint as the coarse pass and rides the windowed kernel
+                # instead of the latency-bound gather.
+                t_side_ = res // tile
+                w = weights.reshape(B, t_side_, tile, t_side_, tile, *weights.shape[2:])
+                w = jnp.mean(w, axis=(2, 4), keepdims=True)
+                weights_s = jnp.broadcast_to(
+                    w, (B, t_side_, tile, t_side_, tile, *weights.shape[2:])
+                ).reshape(weights.shape)
+                d = depths_coarse.reshape(B, t_side_, tile, t_side_, tile, S, 1)
+                d = jnp.mean(d, axis=(2, 4), keepdims=True)
+                depths_c_s = jnp.broadcast_to(
+                    d, (B, t_side_, tile, t_side_, tile, S, 1)
+                ).reshape(depths_coarse.shape)
+                # deterministic mid-bin u so the depths (hence footprints) are
+                # shared across the tile — pooled mode is an inference option
+                depths_fine = self._sample_importance(
+                    depths_c_s, weights_s, n_imp, det=True, rng=rng_imp
+                )
+            else:
+                depths_fine = self._sample_importance(
+                    depths_coarse, weights, n_imp, det=evaluation, rng=rng_imp
+                )
+            colors_fine, densities_fine = run(depths_fine, structured=pooled)
 
             all_depths, all_colors, all_densities = self._unify_samples(
                 depths_coarse, colors_coarse, densities_coarse,

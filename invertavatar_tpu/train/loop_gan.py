@@ -49,6 +49,11 @@ class GANTrainConfig:
     kimg_per_tick: int = 4
     snapshot_ticks: int = 50
     seed: int = 0
+    # micro-batch gradient accumulation (reference `batch_gpu` inner loop,
+    # training_loop.py:371-374): each optimizer update aggregates this many
+    # micro-batch steps via optax.MultiSteps; batch_iter then yields
+    # micro-batches of batch_size // grad_accum
+    grad_accum: int = 1
     loss: GANLossConfig = dataclasses.field(default_factory=GANLossConfig)
 
 
@@ -93,6 +98,11 @@ def train_gan(
 
     g_tx = adam_with_lazy_reg(cfg.g_lr, 0.0, cfg.beta2, 1e-8, cfg.loss.g_reg_interval)
     d_tx = adam_with_lazy_reg(cfg.d_lr, 0.0, cfg.beta2, 1e-8, cfg.loss.d_reg_interval)
+    if cfg.grad_accum > 1:
+        import optax
+
+        g_tx = optax.MultiSteps(g_tx, every_k_schedule=cfg.grad_accum)
+        d_tx = optax.MultiSteps(d_tx, every_k_schedule=cfg.grad_accum)
     g_state = TrainState(g_vars["params"], g_tx.init(g_vars["params"]), g_vars.get("buffers", {}))
     d_state = TrainState(d_vars["params"], d_tx.init(d_vars["params"]), d_vars.get("buffers", {}))
     ema_params = jax.tree_util.tree_map(lambda x: x, g_state.params)
@@ -146,7 +156,7 @@ def train_gan(
         beta = ema_beta(cfg.batch_size, cfg.ema_kimg, cur_nimg, cfg.ema_rampup)
         ema_params = ema_jit(ema_params, g_state.params, beta)
 
-        cur_nimg += cfg.batch_size
+        cur_nimg += cfg.batch_size // cfg.grad_accum
         step_idx += 1
         for k, val in metrics.items():
             collector.report(k, np.asarray(val))

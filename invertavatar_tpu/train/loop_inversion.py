@@ -448,6 +448,94 @@ def train_fewshot(
     return state
 
 
+def train_oneshot(
+    net,  # InversionNet (unet_type='segformer')
+    variables,
+    d_module,  # DualDiscriminator or None
+    batch_iter,  # yields {'image', 'c', 'v', 'uv', 'z', 'gen_uv'?}
+    cfg: "InversionTrainConfig",
+    lpips_fn: Callable,
+    id_fn: Optional[Callable] = None,
+    max_steps: Optional[int] = None,
+):
+    """One-shot-stage driver (reference training_loop_unet_interval.py:356-368):
+    batch-parity phase alternation with per-unet masked optimizers."""
+    import os
+    import time
+
+    import numpy as np
+
+    from ..utils.checkpoint import save_orbax
+    from ..utils.stats import Collector, StatsLogger
+
+    os.makedirs(cfg.run_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(cfg.seed)
+    buffers = {k: v for k, v in variables.items() if k != "params"}
+
+    tx_tex = masked_adam(cfg.lr, oneshot_tex_trainable)
+    tx_tri = masked_adam(cfg.lr, oneshot_tri_trainable)
+    state = TrainState(variables["params"], tx_tex.init(variables["params"]), buffers)
+    # one opt state per unet (the reference keeps two optimizers)
+    opt_states = {"tex": state.opt_state, "tri": tx_tri.init(variables["params"])}
+
+    d_state = None
+    d_tx = None
+    if d_module is not None and cfg.weights.adv > 0:
+        d_vars = d_module.init(
+            jax.random.PRNGKey(cfg.seed + 1),
+            {"image": jnp.zeros((1, 512, 512, 3)), "image_raw": jnp.zeros((1, 128, 128, 3))},
+            jnp.zeros((1, 25)),
+        )
+        d_tx = optax.adam(cfg.lr)
+        d_state = TrainState(d_vars["params"], d_tx.init(d_vars["params"]),
+                             {k: v for k, v in d_vars.items() if k != "params"})
+
+    steps = {
+        "tex": jax.jit(
+            make_oneshot_train_step(net, d_module, lpips_fn, id_fn, tx_tex, d_tx, cfg.weights),
+            static_argnames=("phase", "do_r1"),
+        ),
+        "tri": jax.jit(
+            make_oneshot_train_step(net, d_module, lpips_fn, id_fn, tx_tri, d_tx, cfg.weights),
+            static_argnames=("phase", "do_r1"),
+        ),
+    }
+
+    collector = Collector()
+    logger = StatsLogger(cfg.run_dir)
+    cur_nimg = 0
+    step_idx = 0
+    t0 = time.time()
+    while (max_steps is None or step_idx < max_steps) and cur_nimg < cfg.total_kimg * 1000:
+        batch = next(batch_iter)
+        i_phase, unet, d_phase, do_r1 = oneshot_phase_schedule(step_idx, cfg.wd_reg_interval)
+        state = TrainState(state.params, opt_states[unet], state.buffers)
+        state, d_state, aux = steps[unet](
+            state, d_state, batch, jax.random.fold_in(rng, step_idx), phase=i_phase, do_r1=False
+        )
+        opt_states[unet] = state.opt_state
+        if d_state is not None and cfg.weights.adv > 0:
+            _, d_state, d_aux = steps[unet](
+                state, d_state, batch, jax.random.fold_in(rng, step_idx + 1),
+                phase=d_phase, do_r1=do_r1,
+            )
+            aux = {**aux, **d_aux}
+        cur_nimg += cfg.batch_size
+        step_idx += 1
+        for k, v in aux.items():
+            collector.report(k, np.asarray(v))
+        if step_idx % 50 == 0 or (max_steps and step_idx >= max_steps):
+            collector.update()
+            print(
+                f"kimg {cur_nimg/1000:.1f} ({time.time()-t0:.0f}s) "
+                + " ".join(f"{n}={collector.mean(n):.4f}" for n in collector.names())
+            )
+            logger.write(collector, cur_nimg)
+    save_orbax(os.path.join(cfg.run_dir, "snapshot-final"), {"params": state.params})
+    logger.close()
+    return state, d_state
+
+
 def make_fewshot_train_step(
     I_module,  # InversionNet
     lpips_fn: Callable,

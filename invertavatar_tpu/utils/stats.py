@@ -41,6 +41,25 @@ class Collector:
         self._deltas = {k: v.copy() for k, v in self._moments.items()}
         self._moments.clear()
 
+    def sync(self) -> None:
+        """Cross-process reduce of the pending [num, sum, sumsq] triples —
+        the reference's `training_stats` all_reduce (training_stats.py:236-260).
+        No-op in single-process runs; call before `update()` on multi-host."""
+        import jax
+
+        if jax.process_count() <= 1 or not self._moments:
+            return
+        from jax.experimental import multihost_utils
+
+        names = sorted(self._moments)
+        stacked = np.stack([self._moments[n] for n in names])  # [N, 3]
+        gathered = np.asarray(
+            multihost_utils.process_allgather(stacked.astype(np.float32))
+        )  # [P, N, 3]
+        total = gathered.sum(axis=0).astype(np.float64)
+        for i, n in enumerate(names):
+            self._moments[n] = total[i]
+
     def names(self):
         return [n for n in getattr(self, "_deltas", {}) if self._regex.fullmatch(n)]
 

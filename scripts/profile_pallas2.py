@@ -93,5 +93,36 @@ def main():
             print(f"    tile={tile} FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("GROUPS_SWEEP"):
     main()
+
+
+def extra_groups():
+    print("== s_group sweep ==", flush=True)
+    rng = np.random.RandomState(0)
+    planes = jnp.asarray(rng.randn(N, H, W, C).astype(np.float32))
+    grids = [jnp.asarray(make_grid(np.random.RandomState(i))) for i in range(4)]
+    padded = pad_planes_for_patch(planes)
+
+    @jax.jit
+    def patch(g):
+        return grid_sample_patch(padded, g.reshape(N, -1, 2), C).reshape(N, RES * RES, S, C)
+
+    ref = patch(grids[0])
+    for grp, window in [(2, 56), (4, 72), (8, 104), (2, 64), (4, 80)]:
+        try:
+            fn = jax.jit(
+                lambda g, gr=grp, w=window: sample_planes_windowed_pallas(
+                    planes, g, res=RES, tile=TILE, window=w,
+                    payload_dtype=jnp.bfloat16, s_group=gr,
+                )
+            )
+            out = timeit_varying(f"pallas bf16 s_group={grp} win={window}", fn, [(g,) for g in grids])
+            err = float(jnp.max(jnp.abs(out - ref)))
+            print(f"    max abs err vs patch: {err:.2e}", flush=True)
+        except Exception as e:
+            print(f"    s_group={grp} FAILED: {type(e).__name__}: {str(e)[:250]}", flush=True)
+
+
+if __name__ == "__main__" and os.environ.get("GROUPS_SWEEP"):
+    extra_groups()

@@ -196,6 +196,17 @@ def test_fewshot_step_tiny():
         rngs, batch["image"], batch["c"], batch["v"], batch["uv"], None,
         method=lambda m, f, c, v, uv, ws: m.run_seq(f, c, v, uv, ws=ws),
     )
+    # run_seq never touches generator.mapping; graft its params from a full init
+    gen_vars = net.init(
+        rngs, batch["z"], batch["c"][:, 0], {"uvcoords_image": uvc[:, 0]},
+        method=lambda m, z, cc, v: m.generator(z, cc, v),
+    )
+    variables = dict(variables)
+    variables["params"] = dict(variables["params"])
+    variables["params"]["generator"] = dict(variables["params"]["generator"])
+    variables["params"]["generator"]["backbone"] = gen_vars["params"]["generator"]["backbone"]
+    variables["buffers"] = dict(variables["buffers"])
+    variables["buffers"]["generator"] = gen_vars["buffers"]["generator"]
     weights = InversionLossWeights(l1=1.0, lpips=0.0, id=0.0, raw_l1=1.0, tri=0.001,
                                    lr_lpips=0.0, adv=0.01)
     tx = masked_adam(1e-4, unet_decoder_trainable)
