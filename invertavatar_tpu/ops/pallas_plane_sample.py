@@ -103,11 +103,6 @@ def _kernel(
     x_e = jax.lax.broadcasted_iota(jnp.int32, (win_c, win_c * C), 0)
     expander = (jx_e == x_e).astype(dt)
 
-    # lane -> channel selector [win_c*C, C]
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, (win_c * C, C), 0) % C
-    ch = jax.lax.broadcasted_iota(jnp.int32, (win_c * C, C), 1)
-    sel = (lane_c == ch).astype(dt)
-
     dma(g, slot).wait()
     blk = win[slot]  # [win_r, win_c*C]
     prec = jax.lax.Precision.HIGHEST if exact else None
@@ -123,12 +118,37 @@ def _kernel(
         preferred_element_type=jnp.float32,
         precision=prec,
     )  # [P, win*C] fp32
-    out_ref[0, :, :] = jax.lax.dot_general(
-        (tmp * ohx).astype(dt), sel,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    )
+    prod = tmp * ohx
+
+    lanes = win_c * C
+    if lanes % 128 == 0 and 128 % C == 0:
+        # The naive lane->channel selector matmul has K=win_c*C and N=C —
+        # its MXU pass count (≈K cycles for a 256-row block) dominated the
+        # whole step. Instead: sum the aligned 128-lane tiles on the VPU
+        # (each covers 128//C consecutive x taps), then fold the remaining
+        # 128//C x-groups with one tiny K=128 matmul.
+        acc = prod[:, 0:128]
+        for k in range(1, lanes // 128):
+            acc = acc + prod[:, k * 128 : (k + 1) * 128]
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (128, C), 0) % C
+        ch = jax.lax.broadcasted_iota(jnp.int32, (128, C), 1)
+        fold = (lane_c == ch).astype(dt)
+        out_ref[0, :, :] = jax.lax.dot_general(
+            acc.astype(dt), fold,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+    else:
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (lanes, C), 0) % C
+        ch = jax.lax.broadcasted_iota(jnp.int32, (lanes, C), 1)
+        sel = (lane_c == ch).astype(dt)
+        out_ref[0, :, :] = jax.lax.dot_general(
+            prod.astype(dt), sel,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
 
 
 @functools.partial(

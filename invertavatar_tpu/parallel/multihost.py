@@ -51,3 +51,29 @@ def local_batch_slice(global_batch: int) -> slice:
     per = global_batch // jax.process_count()
     start = per * jax.process_index()
     return slice(start, start + per)
+
+
+def check_replica_consistency(params, atol: float = 0.0) -> None:
+    """Reference torch_utils/misc.py:202 `check_ddp_consistency`: assert the
+    replicated param pytree is bit-identical across processes. No-op single
+    process; raises with the first mismatching path otherwise."""
+    import jax
+    import numpy as np
+
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    sums = np.asarray([np.float64(np.sum(np.asarray(l, np.float64))) for l in leaves],
+                      np.float64)
+    gathered = np.asarray(multihost_utils.process_allgather(sums.astype(np.float32)))
+    ref = gathered[0]
+    for p in range(1, gathered.shape[0]):
+        bad = np.where(np.abs(gathered[p] - ref) > atol)[0]
+        if bad.size:
+            paths = jax.tree_util.tree_structure(params)
+            raise AssertionError(
+                f"replica {p} differs from replica 0 at leaf {int(bad[0])} "
+                f"(checksum {gathered[p][bad[0]]} vs {ref[bad[0]]})"
+            )

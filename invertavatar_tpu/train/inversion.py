@@ -136,6 +136,23 @@ def e4e_ireal_loss(
     return total, losses
 
 
+def e4e_ireal_novel_loss(
+    e4e_apply: Callable,
+    gen_synthesis: Callable,
+    id_fn: Callable,
+    weights: InversionLossWeights,
+    real_img, novel_c, real_v,
+):
+    """Ireal_novel (w_loss.py:215-235): render the inverted code under a
+    different camera and demand ID consistency with the source image."""
+    real256 = _to256(real_img[..., :3])
+    ws = e4e_apply(real256)
+    multiview = gen_synthesis(ws, novel_c, real_v)["image"]
+    losses = {"multiview_id": id_fn(real_img[..., :3], multiview)}
+    total = weights.multiview_id * losses["multiview_id"]
+    return total, losses
+
+
 def wd_losses(
     wd_apply: Callable,
     ws_fake: jnp.ndarray,  # encoder outputs (stop-grad outside)

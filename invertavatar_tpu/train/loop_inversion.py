@@ -153,7 +153,19 @@ def make_e4e_train_step(
             )
             aux = {f"Ireal/{k}": v for k, v in aux_r.items()}
             aux.update({f"Igen/{k}": v for k, v in aux_g.items()})
-            return total_r + total_g, aux
+            total = total_r + total_g
+            if weights.multiview_id > 0 and id_fn is not None:
+                # Ireal_novel (w_loss.py:215-235): ID consistency under a
+                # different camera (batch['gen_c'] when provided)
+                from .inversion import e4e_ireal_novel_loss
+
+                total_n, aux_n = e4e_ireal_novel_loss(
+                    encode, gen_synthesis, id_fn, weights,
+                    batch["image"], batch.get("gen_c", batch["c"]), batch["v"],
+                )
+                total = total + total_n
+                aux.update({f"Ireal_novel/{k}": v for k, v in aux_n.items()})
+            return total, aux
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -21,6 +21,20 @@ class TrainState(NamedTuple):
     buffers: Any = None
 
 
+def scrub_nan_grads() -> optax.GradientTransformation:
+    """Reference training_loop.py:385 (`torch.nan_to_num(flat_grads)`): NaN
+    gradients become 0 and ±inf saturates to the fp32 extremes before Adam."""
+
+    def update(updates, state, params=None):
+        fmax = jnp.finfo(jnp.float32).max
+        updates = jax.tree_util.tree_map(
+            lambda g: jnp.nan_to_num(g, nan=0.0, posinf=fmax, neginf=-fmax), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update)
+
+
 def adam_with_lazy_reg(lr: float, beta1: float, beta2: float, eps: float, reg_interval: Optional[int]):
     """Reference training_loop.py:270-276: scale lr/betas by N/(N+1)."""
     if reg_interval is not None and reg_interval > 1:
@@ -28,7 +42,7 @@ def adam_with_lazy_reg(lr: float, beta1: float, beta2: float, eps: float, reg_in
         lr = lr * mb_ratio
         beta1 = beta1**mb_ratio
         beta2 = beta2**mb_ratio
-    return optax.adam(lr, b1=beta1, b2=beta2, eps=eps)
+    return optax.chain(scrub_nan_grads(), optax.adam(lr, b1=beta1, b2=beta2, eps=eps))
 
 
 def ema_update(ema_params, params, beta):

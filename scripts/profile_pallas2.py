@@ -93,7 +93,7 @@ def main():
             print(f"    tile={tile} FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
 
 
-if __name__ == "__main__" and not os.environ.get("GROUPS_SWEEP"):
+if __name__ == "__main__" and not os.environ.get("GROUPS_SWEEP") and not os.environ.get("PROBE"):
     main()
 
 
@@ -126,3 +126,23 @@ def extra_groups():
 
 if __name__ == "__main__" and os.environ.get("GROUPS_SWEEP"):
     extra_groups()
+
+
+def timing_probe():
+    """Timing-only probe (window too small for exactness): locates the
+    kernel bottleneck by scaling window dims."""
+    print("== timing probe ==", flush=True)
+    rng = np.random.RandomState(0)
+    planes = jnp.asarray(rng.randn(N, H, W, C).astype(np.float32))
+    grids = [jnp.asarray(make_grid(np.random.RandomState(i))) for i in range(4)]
+    for window in [16, 32, 48, 80]:
+        fn = jax.jit(
+            lambda g, w=window: sample_planes_windowed_pallas(
+                planes, g, res=RES, tile=TILE, window=w, payload_dtype=jnp.bfloat16
+            )
+        )
+        timeit_varying(f"probe bf16 window={window}", fn, [(g,) for g in grids])
+
+
+if __name__ == "__main__" and os.environ.get("PROBE"):
+    timing_probe()
