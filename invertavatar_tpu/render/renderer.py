@@ -186,7 +186,20 @@ class ImportanceRenderer:
         Bp, n_planes, Hp_, Wp_, Cp_ = planes.shape
         planes_flat = planes.reshape(Bp * n_planes, Hp_, Wp_, Cp_)
         fast = options.get("fast_sampling", True)
-        planes_padded = pad_planes_for_patch(planes_flat) if fast else None
+        # bf16 payload for the patch gather halves the per-point HBM segments;
+        # enabled with the bf16 fast path (same error class as the bf16 coarse
+        # kernel), opt out with options['bf16_gather']=False
+        _bf16_gather = (
+            options.get("pallas_coarse", False)
+            and not options.get("pallas_exact", False)
+            and options.get("bf16_gather", True)
+            and jax.devices()[0].platform == "tpu"
+        )
+        if fast:
+            src = planes_flat.astype(jnp.bfloat16) if _bf16_gather else planes_flat
+            planes_padded = pad_planes_for_patch(src)
+        else:
+            planes_padded = None
         res = int(round(R ** 0.5))
         tile = max(8, res // 8)
         window = int(options.get("coarse_window", 48))

@@ -67,3 +67,13 @@ def test_reenact_cli(tmp_path):
     vids = [f for f in os.listdir(tmp_path / "out") if f.endswith(".mp4")]
     assert vids, "reenact CLI produced no video"
     assert os.path.getsize(tmp_path / "out" / vids[0]) > 1000
+
+
+def test_train_gan_cli_dry_run(capsys):
+    from invertavatar_tpu.cli.train_gan import main
+
+    main(["--outdir", "/tmp/x", "--data", "/tmp/y", "--dry-run", "--gen_pose_cond"])
+    out = capsys.readouterr().out
+    cfg = json.loads(out)
+    assert cfg["rendering_kwargs"]["c_gen_conditioning_zero"] is False
+    assert float(cfg["rendering_kwargs"]["gpc_reg_prob"]) == 0.5
