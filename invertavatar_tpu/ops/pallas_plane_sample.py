@@ -138,7 +138,7 @@ def _kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
-        )
+        ).astype(out_ref.dtype)
     else:
         lane_c = jax.lax.broadcasted_iota(jnp.int32, (lanes, C), 0) % C
         ch = jax.lax.broadcasted_iota(jnp.int32, (lanes, C), 1)
@@ -148,7 +148,7 @@ def _kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
-        )
+        ).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -177,7 +177,7 @@ def _sample_one_plane(plane2d, ys, xsc, gy, gx, win_r: int, win_c: int, C: int,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G, P, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, P, C), plane2d.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ys, xsc, plane2d, gy.reshape(G, 1, P), gx.reshape(G, 1, P))
 
