@@ -126,3 +126,40 @@ def project_w_plus(
         if verbose and (i + 1) % 50 == 0:
             print(f"step {i+1}/{num_steps}: dist {float(dist):.3f} loss {float(loss):.3f}")
     return params["w"], params["noise"]
+
+
+# ------------------------------------------------------------- PTI locality reg
+def morphed_w_code(new_w, fixed_w, alpha: float = 30.0):
+    """reference inversion/criteria/localitly_regulizer.py:14-21."""
+    direction = new_w - fixed_w
+    norm = jnp.linalg.norm(direction)
+    return fixed_w + alpha * direction / jnp.maximum(norm, 1e-12)
+
+
+def space_regularizer_loss(
+    new_g_synthesis,  # (w) -> image, current (tuned) generator params
+    old_g_synthesis,  # (w) -> image, frozen pre-PTI generator
+    mapping_fn,  # (z) -> w samples from the original generator
+    w_batch,
+    lpips_fn,
+    rng,
+    num_samples: int = 1,
+    alpha: float = 30.0,
+    l2_lambda: float = 0.0,
+    lpips_lambda: float = 1.0,
+):
+    """PTI "ball-holder" locality regularizer (localitly_regulizer.py:27-58):
+    the tuned generator must match the frozen one on w codes pushed a fixed
+    distance from the inversion target."""
+    z = jax.random.normal(rng, (num_samples, w_batch.shape[-1]))
+    w_samples = mapping_fn(z)
+    total = jnp.float32(0.0)
+    for i in range(num_samples):
+        w_code = morphed_w_code(w_samples[i : i + 1], w_batch, alpha)
+        new_img = new_g_synthesis(w_code)
+        old_img = jax.lax.stop_gradient(old_g_synthesis(w_code))
+        if l2_lambda > 0:
+            total = total + l2_lambda * jnp.mean(jnp.square(old_img - new_img))
+        if lpips_lambda > 0:
+            total = total + lpips_lambda * jnp.mean(lpips_fn(old_img, new_img))
+    return total / num_samples

@@ -39,3 +39,17 @@ def visualize_mesh_condition(uvcoords_image: np.ndarray, fill_alpha: Optional[np
     mask = vis[..., 2:3] if fill_alpha is None else fill_alpha
     vis = np.where(mask > 0, vis, -1.0)
     return np.clip((vis + 1) * 127.5, 0, 255).astype(np.uint8)
+
+
+def sample_cross_section(sample_mixed_fn, ws, mesh_condition, resolution: int = 256, w: float = 1.2):
+    """Density cross-section through the x=0 plane for shape snapshots
+    (reference training/crosssection_utils.py:13-23)."""
+    import jax.numpy as jnp
+
+    a = jnp.linspace(w / 2, -w / 2, resolution)
+    b = jnp.linspace(-w / 2, w / 2, resolution)
+    A, B = jnp.meshgrid(a, b, indexing="ij")
+    coords = jnp.stack([jnp.zeros_like(A), A, B], axis=-1).reshape(1, -1, 3)
+    coords = jnp.broadcast_to(coords, (ws.shape[0], coords.shape[1], 3))
+    sigma = sample_mixed_fn(coords, ws, mesh_condition)["sigma"]
+    return np.asarray(sigma).reshape(-1, resolution, resolution, 1)

@@ -166,3 +166,31 @@ def test_equivariance_ops_parity():
     z, m = my_eq.apply_fractional_pseudo_rotation(xj, angle)
     np.testing.assert_allclose(np.transpose(np.asarray(z), (0, 3, 1, 2)), ref_z.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.transpose(np.asarray(m), (0, 3, 1, 2)), ref_m.numpy(), atol=1e-6)
+
+
+def test_voxel_sampling_and_cross_section():
+    import jax.numpy as jnp
+
+    from invertavatar_tpu.utils.shapes import create_samples, sample_density_grid
+    from invertavatar_tpu.utils.vis import sample_cross_section
+
+    samples, origin, vs = create_samples(8, cube_length=2.0)
+    assert samples.shape == (1, 512, 3)
+    # z varies fastest
+    assert abs(samples[0, 1, 2] - samples[0, 0, 2] - vs) < 1e-6
+    assert abs(samples[0, 1, 0] - samples[0, 0, 0]) < 1e-6
+
+    def fake_sample_mixed(coords, ws, v):
+        # radial density: sphere of radius 0.1
+        r = jnp.linalg.norm(coords, axis=-1, keepdims=True)
+        return {"sigma": (r < 0.1).astype(jnp.float32)}
+
+    vol = sample_density_grid(fake_sample_mixed, None, None, voxel_resolution=16,
+                              cube_length=0.3, max_batch=1000)
+    assert vol.shape == (16, 16, 16)
+    assert vol[8, 8, 8] == 1.0 and vol[0, 0, 0] == 0.0
+
+    cs = sample_cross_section(fake_sample_mixed, np.zeros((1, 14, 4)), None,
+                              resolution=32, w=0.5)
+    assert cs.shape == (1, 32, 32, 1)
+    assert cs[0, 16, 16, 0] == 1.0 and cs[0, 0, 0, 0] == 0.0
