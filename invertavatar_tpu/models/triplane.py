@@ -157,6 +157,8 @@ class TriPlaneGenerator(nn.Module):
         for idx, texture in enumerate(texture_feats):
             res = texture.shape[1]
             bbox = [round(i * res / 256) for i in bbox_256]
+            # row gather wins here: the wide-C texture taps (up to 512ch) give
+            # large per-row slices already (patch variant measured slower)
             warped = grid_sample(texture.astype(jnp.float32), grid)  # [B, 256, 256, C]
             rendering_feat = resize_bilinear(warped, (res, res), antialias=True)
             alpha_ = resize_bilinear(alpha, (res, res), antialias=True)
