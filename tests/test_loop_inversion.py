@@ -242,3 +242,51 @@ def test_fewshot_step_tiny():
     new_d, d_aux = d_step(s2, d_state, batch, jax.random.PRNGKey(3), do_r1=True)
     for k, v in d_aux.items():
         assert np.isfinite(float(v)), k
+
+
+@pytest.mark.slow
+def test_ar_forward_streaming_tiny():
+    """ar_forward carries GRU state across chunks (uvnet.py:160-203)."""
+    from invertavatar_tpu.models.encoders.uvnet import InversionNet
+    from invertavatar_tpu.train.dryrun import TINY_RENDERING_KWARGS, _fake_batch
+
+    gen_cfg = dict(
+        z_dim=32, c_dim=25, w_dim=512, img_resolution=128, img_channels=3,
+        rendering_kwargs=dict(TINY_RENDERING_KWARGS, depth_resolution=6,
+                              depth_resolution_importance=6),
+        neural_rendering_resolution=32, channel_base=1024, channel_max=64,
+        map_num_layers=2,
+    )
+    net = InversionNet(generator_cfg=gen_cfg, texture_out_channels=(32, 32, 16, 8))
+    rng = jax.random.PRNGKey(0)
+    rngs = {"params": rng, "buffers": jax.random.fold_in(rng, 1),
+            "noise": jax.random.fold_in(rng, 2), "ray": jax.random.fold_in(rng, 3)}
+
+    T = 2
+    raw = _fake_batch(np.random.RandomState(0), batch=T, res=256, z_dim=32)
+    x = {"image": jnp.asarray(raw["image"]), "uv": jnp.zeros((T, 256, 256, 6))}
+    vid_c = jnp.asarray(raw["c"])
+    vid_v = {"uvcoords_image": jnp.asarray(raw["v"]["uvcoords_image"])}
+
+    variables = net.init(
+        rngs, x, vid_c, vid_v, None, [None, None],
+        method=lambda m, x, c, v, ws, r: m.ar_forward(x, c, v, ws, r),
+    )
+    apply = jax.jit(
+        lambda vr, x, c, v, ws, r0, r1: net.apply(
+            vr, x, c, v, ws, [r0, r1],
+            method=lambda m, x, c, v, ws, r: m.ar_forward(x, c, v, ws, r),
+            rngs={"ray": jax.random.PRNGKey(9)},
+        )
+    )
+    # chunk 1: fresh state
+    upd1, r_list1 = apply(variables, x, vid_c, vid_v, None, None, None)
+    assert set(upd1.keys()) == {"w", "texture", "static"}
+    assert upd1["w"].shape[1:] == (14, 512)
+    # chunk 2: carried state gives different features than fresh state
+    upd2, r_list2 = apply(variables, x, vid_c, vid_v, upd1["w"], r_list1[0], r_list1[1])
+    upd2f, _ = apply(variables, x, vid_c, vid_v, upd1["w"], None, None)
+    d = max(float(jnp.abs(a - b).max()) for a, b in zip(upd2["texture"], upd2f["texture"]))
+    assert np.isfinite(d) and d > 0
+    for f in upd2["texture"] + upd2["static"]:
+        assert np.all(np.isfinite(np.asarray(f)))

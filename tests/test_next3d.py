@@ -307,3 +307,47 @@ def test_legacy_triplane_generator_smoke():
     assert out["image"].shape == (B, 128, 128, 3)
     for k in ("image", "image_raw", "image_depth"):
         assert np.all(np.isfinite(np.asarray(out[k]))), k
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference repo not mounted")
+def test_cond_generator_full_parity():
+    """CondGenerator (mapping + cond synthesis) vs the reference Generator."""
+    import torch
+
+    torch.manual_seed(7)
+    from training_avatar_texture.networks_stylegan2_styleunet_next3d import (
+        Generator as RefGen,
+    )
+
+    from invertavatar_tpu.utils.torch_import import (
+        convert_state_dict,
+        state_dict_from_torch_module,
+    )
+
+    kw = dict(z_dim=16, c_dim=0, w_dim=64, img_resolution=64, img_channels=8,
+              cond_channels=6, in_size=16, final_size=4, channel_base=512,
+              channel_max=64, num_fp16_res=0, num_cond_res=16)
+    g_t = RefGen(mapping_kwargs={"num_layers": 2}, **kw)
+    g_t.eval()
+    rng = np.random.RandomState(7)
+    z = rng.randn(2, 16).astype(np.float32)
+    x = rng.randn(2, 6, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        ws_ref = g_t.mapping(torch.tensor(z), None)
+        ref = g_t.synthesis(torch.tensor(x), ws_ref, noise_mode="const").numpy()
+
+    g_j = CondGenerator(map_num_layers=2, **kw)
+    variables = convert_state_dict(state_dict_from_torch_module(g_t))
+    # drop the unused sub-final_size pyramid blocks (see cond network test)
+    block_res = [2**i for i in range(2, int(np.log2(kw["img_resolution"])) + 1)]
+    used = {f"b{r}" for r in block_res[int(np.log2(kw["final_size"])) - 1 :]}
+    sp = variables["params"]["synthesis"]
+    variables["params"]["synthesis"] = {
+        k: v for k, v in sp.items() if not (k.startswith("b") and k not in used)
+    }
+    sb = variables["buffers"].get("synthesis", {})
+    variables["buffers"]["synthesis"] = {
+        k: v for k, v in sb.items() if not (k.startswith("b") and k.split("/")[0] not in used)
+    }
+    out = g_j.apply(variables, jnp.asarray(z), None, nhwc(x), noise_mode="const")
+    np.testing.assert_allclose(nchw(out), ref, atol=2e-3)
