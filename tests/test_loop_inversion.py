@@ -276,7 +276,7 @@ def test_ar_forward_streaming_tiny():
         lambda vr, x, c, v, ws, r0, r1: net.apply(
             vr, x, c, v, ws, [r0, r1],
             method=lambda m, x, c, v, ws, r: m.ar_forward(x, c, v, ws, r),
-            rngs={"ray": jax.random.PRNGKey(9)},
+            rngs={"ray": jax.random.PRNGKey(9), "noise": jax.random.PRNGKey(10)},
         )
     )
     # chunk 1: fresh state
