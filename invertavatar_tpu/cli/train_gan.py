@@ -33,6 +33,9 @@ def main(argv=None):
     p.add_argument("--cmax", type=int, default=512)
     p.add_argument("--map_depth", type=int, default=2)
     p.add_argument("--snap", type=int, default=50)
+    p.add_argument("--aug", choices=["noaug", "ada", "fixed"], default="noaug")
+    p.add_argument("--p", type=float, default=0.2, help="probability for --aug=fixed")
+    p.add_argument("--target", type=float, default=0.6, help="target for --aug=ada")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", default=None, help="orbax snapshot dir or reference .pkl")
     p.add_argument("--dry-run", action="store_true")
@@ -57,6 +60,22 @@ def main(argv=None):
         det_stratified=False,
     )
 
+    augment_pipe = None
+    augment_p0 = 0.0
+    ada_target = None
+    if args.aug != "noaug":
+        # 'bgc'-style full pipe (reference train_avatar_texture.py:372-376)
+        from ..train.augment import AugmentConfig, AugmentPipe
+
+        augment_pipe = AugmentPipe(AugmentConfig(
+            xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1, xfrac=1,
+            brightness=1, contrast=1, lumaflip=1, hue=1, saturation=1,
+        ))
+        if args.aug == "ada":
+            ada_target = args.target
+        else:
+            augment_p0 = args.p
+
     loss_cfg = GANLossConfig(
         r1_gamma=args.gamma,
         gpc_reg_prob=args.gpc_reg_prob if args.gen_pose_cond else None,
@@ -66,6 +85,7 @@ def main(argv=None):
         blur_init_sigma=10.0,
         blur_fade_kimg=args.blur_fade_kimg,
         density_reg=args.density_reg,
+        ada_target=ada_target,
     )
     cfg = GANTrainConfig(
         run_dir=args.outdir,
@@ -75,6 +95,7 @@ def main(argv=None):
         d_lr=args.dlr,
         snapshot_ticks=args.snap,
         seed=args.seed,
+        augment_p=augment_p0,
         loss=loss_cfg,
     )
     if args.dry_run:
@@ -105,7 +126,7 @@ def main(argv=None):
         }
 
     batches = prefetch_batches(dataset, sampler, args.batch, collate=collate)
-    train_gan(G, D, batches, cfg, resume_dir=args.resume)
+    train_gan(G, D, batches, cfg, resume_dir=args.resume, augment_pipe=augment_pipe)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,10 @@ class GANLossConfig:
     g_reg_interval: int = 4
     d_reg_interval: int = 16
     blur_raw_target: bool = True
+    # ADA (reference training_loop.py:183-186 + :452-456)
+    ada_target: Optional[float] = None
+    ada_interval: int = 4
+    ada_kimg: float = 500.0
 
 
 class Schedules(NamedTuple):
@@ -59,9 +63,10 @@ class Schedules(NamedTuple):
 
     blur_kernel: jnp.ndarray  # [K] normalized 1D gaussian (identity when off)
     swapping_prob: jnp.ndarray  # scalar; <0 disables swapping (c -> zeros)
+    augment_p: jnp.ndarray  # scalar ADA probability (0 disables)
 
 
-def make_schedules(cfg: GANLossConfig, cur_nimg: int, max_blur_width: int = 61) -> Schedules:
+def make_schedules(cfg: GANLossConfig, cur_nimg: int, max_blur_width: int = 61, augment_p: float = 0.0) -> Schedules:
     blur_sigma = (
         max(1 - cur_nimg / (cfg.blur_fade_kimg * 1e3), 0) * cfg.blur_init_sigma
         if cfg.blur_fade_kimg > 0
@@ -82,7 +87,7 @@ def make_schedules(cfg: GANLossConfig, cur_nimg: int, max_blur_width: int = 61) 
         swap = (1 - alpha) * 1 + alpha * cfg.gpc_reg_prob
     else:
         swap = -1.0
-    return Schedules(jnp.asarray(f), jnp.asarray(swap, jnp.float32))
+    return Schedules(jnp.asarray(f), jnp.asarray(swap, jnp.float32), jnp.asarray(augment_p, jnp.float32))
 
 
 def neural_rendering_resolution(cfg: GANLossConfig, cur_nimg: int) -> int:
@@ -118,6 +123,7 @@ def make_gan_train_step(
     nrr: int,
     do_greg: bool,
     do_dreg: bool,
+    augment_pipe=None,  # train.augment.AugmentPipe (ADA), applied to D inputs
 ) -> Callable:
     """Build one statically-specialized jittable GAN step.
 
@@ -147,9 +153,24 @@ def make_gan_train_step(
         )
         return out, ws, g_buffers
 
-    def run_D(d_params, d_buffers, img: Dict, c, blur_kernel, rng):
+    def run_D(d_params, d_buffers, img: Dict, c, sched, rng):
         img = dict(img)
-        img["image"] = _blur(img["image"], blur_kernel)
+        img["image"] = _blur(img["image"], sched.blur_kernel)
+        if augment_pipe is not None:
+            # ADA on the dual pair (loss.py:83-89): augment [image ‖ up(raw)]
+            # with one transform draw, then split and downsample raw back
+            from ..ops.resize import resize_bilinear
+
+            H = img["image"].shape[1]
+            raw_res = img["image_raw"].shape[1]
+            pair = jnp.concatenate(
+                [img["image"], resize_bilinear(img["image_raw"], (H, H), antialias=True)],
+                axis=-1,
+            )
+            pair = augment_pipe(pair, sched.augment_p, jax.random.fold_in(rng, 99))
+            nch = img["image"].shape[-1]
+            img["image"] = pair[..., :nch]
+            img["image_raw"] = resize_bilinear(pair[..., nch:], (raw_res, raw_res), antialias=True)
         variables = {"params": d_params}
         if d_buffers:
             variables["buffers"] = d_buffers
@@ -167,7 +188,7 @@ def make_gan_train_step(
             gen_logits = run_D(
                 d_state.params, d_state.buffers,
                 {"image": gen_img["image"], "image_raw": gen_img["image_raw"]},
-                batch["c"], sched.blur_kernel, jax.random.fold_in(rng_g, 7),
+                batch["c"], sched, jax.random.fold_in(rng_g, 7),
             )
             loss_gmain = jnp.mean(jax.nn.softplus(-gen_logits))
             total = loss_gmain
@@ -223,7 +244,7 @@ def make_gan_train_step(
 
         def d_loss_fn(d_params):
             gen_logits = run_D(
-                d_params, d_state.buffers, gen_img, batch["c"], sched.blur_kernel,
+                d_params, d_state.buffers, gen_img, batch["c"], sched,
                 jax.random.fold_in(rng_dg, 7),
             )
             loss_dgen = jnp.mean(jax.nn.softplus(gen_logits))
@@ -231,7 +252,7 @@ def make_gan_train_step(
             def real_logits_fn(image, image_raw):
                 logits = run_D(
                     d_params, d_state.buffers, {"image": image, "image_raw": image_raw},
-                    batch["c"], sched.blur_kernel, jax.random.fold_in(rng_dr, 7),
+                    batch["c"], sched, jax.random.fold_in(rng_dr, 7),
                 )
                 return jnp.sum(logits), logits
 
@@ -251,6 +272,8 @@ def make_gan_train_step(
             aux = {
                 "Loss/D/loss": loss_dgen + loss_dreal,
                 "Loss/scores/real": jnp.mean(real_logits),
+                # ADA control signal (training_loop.py:452-456)
+                "Loss/signs/real": jnp.mean(jnp.sign(real_logits)),
             }
             if do_dreg:
                 aux["Loss/r1_penalty"] = jnp.mean(r1_penalty)

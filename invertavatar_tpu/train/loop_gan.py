@@ -54,6 +54,7 @@ class GANTrainConfig:
     # micro-batch steps via optax.MultiSteps; batch_iter then yields
     # micro-batches of batch_size // grad_accum
     grad_accum: int = 1
+    augment_p: float = 0.0  # initial ADA probability (training_loop.py:183)
     loss: GANLossConfig = dataclasses.field(default_factory=GANLossConfig)
 
 
@@ -65,6 +66,7 @@ def train_gan(
     mesh=None,
     max_steps: Optional[int] = None,
     resume_dir: Optional[str] = None,
+    augment_pipe=None,  # train.augment.AugmentPipe (ADA); None disables
 ):
     mesh = mesh or make_mesh()
     os.makedirs(cfg.run_dir, exist_ok=True)
@@ -130,9 +132,16 @@ def train_gan(
         key = (nrr, do_greg, do_dreg)
         if key not in step_cache:
             G_nrr = dataclasses.replace(G, neural_rendering_resolution=nrr)
-            step = make_gan_train_step(G_nrr, D, g_tx, d_tx, cfg.loss, nrr, do_greg, do_dreg)
+            step = make_gan_train_step(
+                G_nrr, D, g_tx, d_tx, cfg.loss, nrr, do_greg, do_dreg,
+                augment_pipe=augment_pipe,
+            )
             step_cache[key] = jax.jit(step)
         return step_cache[key]
+
+    # ADA state (reference training_loop.py:244-248, :452-456)
+    augment_p = float(cfg.augment_p)
+    sign_real_acc = []
 
     collector = Collector()
     logger = StatsLogger(cfg.run_dir)
@@ -144,7 +153,7 @@ def train_gan(
     while cur_nimg < cfg.total_kimg * 1000:
         batch = next(batch_iter)
         batch_dev = jax.tree_util.tree_map(shard, batch)
-        sched = jax.device_put(make_schedules(cfg.loss, cur_nimg), rep)
+        sched = jax.device_put(make_schedules(cfg.loss, cur_nimg, augment_p=augment_p), rep)
         nrr = neural_rendering_resolution(cfg.loss, cur_nimg)
         do_greg = (step_idx % cfg.loss.g_reg_interval) == 0 and cfg.loss.density_reg > 0
         do_dreg = (step_idx % cfg.loss.d_reg_interval) == 0 and cfg.loss.r1_gamma > 0
@@ -160,6 +169,17 @@ def train_gan(
         step_idx += 1
         for k, val in metrics.items():
             collector.report(k, np.asarray(val))
+
+        # ADA heuristic (training_loop.py:452-456)
+        if augment_pipe is not None and cfg.loss.ada_target is not None:
+            sign_real_acc.append(float(metrics.get("Loss/signs/real", 0.0)))
+            if step_idx % cfg.loss.ada_interval == 0:
+                adjust = np.sign(np.mean(sign_real_acc) - cfg.loss.ada_target) * (
+                    cfg.batch_size * cfg.loss.ada_interval
+                ) / (cfg.loss.ada_kimg * 1000)
+                augment_p = max(augment_p + float(adjust), 0.0)
+                sign_real_acc = []
+                collector.report("Progress/augment", augment_p)
 
         if cur_nimg >= next_tick_nimg or (max_steps and step_idx >= max_steps):
             collector.update()
