@@ -587,3 +587,45 @@ class CondSynthesisNetworkSFT(nn.Module):
                 out[res] = sft
             x = jnp.repeat(x, T, axis=0)
         return out, new_r
+
+
+class PlainSynthesisNetwork(nn.Module):
+    """networks_styleunet.py:788-846 SynthesisNetwork: decoder-only pyramid
+    seeded by external (x, img) features at `final_size` — the upsampling tail
+    used when encoder features come from elsewhere."""
+
+    img_resolution: int
+    img_channels: int
+    final_size: int = 4
+    channel_base: int = 32768
+    channel_max: int = 512
+
+    def _channels(self, res):
+        return min(self.channel_base // res, self.channel_max)
+
+    @nn.compact
+    def __call__(self, x, img, return_list: bool = False):
+        assert x.shape[1] == img.shape[1] == self.final_size
+        log2 = int(np.log2(self.img_resolution))
+        flog2 = int(np.log2(self.final_size))
+        block_res = [2**i for i in range(flog2 + 1, log2 + 1)]
+
+        x_list = []
+        start_out_res = 32
+        if start_out_res == self.final_size:
+            x_list.append(img)
+            x_list.append(x)
+        start_layer = int(np.log2(start_out_res)) - flog2 - 1
+        for _index, res in enumerate(block_res):
+            x, img = DecoderBlock(
+                self.img_channels, self._channels(res // 2), self._channels(res),
+                name=f"b{res}",
+            )(x, img)
+            if _index >= start_layer and return_list:
+                if _index == start_layer:
+                    x_list.append(img)
+                x_list.append(x)
+        if return_list:
+            x_list.append(img)
+            return x_list
+        return img

@@ -162,3 +162,25 @@ def test_cond_synthesis_sft_parity():
         # reference stacks (scale, shift) along dim0
         np.testing.assert_allclose(nchw(out[res][0]), ref[res][0].numpy(), atol=2e-3)
         np.testing.assert_allclose(nchw(out[res][1]), ref[res][1].numpy(), atol=2e-3)
+
+
+def test_plain_synthesis_network_parity():
+    torch.manual_seed(6)
+    from encoder_inversion.models.networks_styleunet import SynthesisNetwork as RefNet
+
+    from invertavatar_tpu.models.encoders.styleunet import PlainSynthesisNetwork
+
+    kw = dict(img_resolution=64, img_channels=4, final_size=4,
+              channel_base=512, channel_max=64)
+    net_t = RefNet(**kw)
+    net_t.eval()
+    rng = np.random.RandomState(6)
+    x = rng.randn(1, 64, 4, 4).astype(np.float32)  # channels_dict[4]=min(512/4,64)=64
+    img = rng.randn(1, 4, 4, 4).astype(np.float32)
+    with torch.no_grad():
+        ref = net_t(torch.tensor(x), torch.tensor(img), return_list=False).numpy()
+
+    net_j = PlainSynthesisNetwork(**kw)
+    variables = convert_state_dict(state_dict_from_torch_module(net_t))
+    out = net_j.apply(variables, nhwc(x), nhwc(img))
+    np.testing.assert_allclose(nchw(out), ref, atol=2e-3)
