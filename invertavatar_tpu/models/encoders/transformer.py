@@ -213,23 +213,28 @@ class TriPlanefeatSegformerDecoder(nn.Module):
 
     inp_ch: int = 7
     res: Optional[int] = 256
+    # flagship texture-tap widths; configurable for tiny test generators
+    out_channels: Tuple[int, int, int, int] = (32, 512, 512, 256)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert x.ndim == 4
-        if self.res is not None and x.shape[1] != self.res:
-            x = adaptive_avg_pool(x, self.res)
+        if self.res is not None:
+            from .unet_encoders import _fit_res
+
+            x = _fit_res(x, self.res)
         xf, feats = trunk_layers(self.inp_ch, (2, 6, 20, 21), x, train)
         c0, c1, c2, c3 = feats[2], feats[6], feats[20], feats[21]
+        oc = self.out_channels
         out = []
         tp = UpLayer(1024, 512, upscale=1, num_vit=4, name="up1")(xf, c3, train=train)
         tp = UpLayer(384, 384, num_vit=4, name="up2")(tp, c2, train=train)
-        out.append(Conv2d(384, 32, kernel=1, padding=0, name="outconv0")(tp))
-        out.append(Conv2d(384, 512, kernel=1, padding=0, name="outconv1")(tp))
+        out.append(Conv2d(384, oc[0], kernel=1, padding=0, name="outconv0")(tp))
+        out.append(Conv2d(384, oc[1], kernel=1, padding=0, name="outconv1")(tp))
         tp = UpLayer(224, 256, num_vit=3, name="up3")(tp, c1, train=train)
-        out.append(Conv2d(256, 512, kernel=1, padding=0, name="outconv2")(tp))
+        out.append(Conv2d(256, oc[2], kernel=1, padding=0, name="outconv2")(tp))
         tp = UpLayer(128, 96, num_vit=3, name="up4")(tp, c0, train=train)
-        out.append(Conv2d(96, 256, kernel=1, padding=0, name="outconv3")(tp))
+        out.append(Conv2d(96, oc[3], kernel=1, padding=0, name="outconv3")(tp))
         return out
 
 
@@ -239,17 +244,23 @@ class TriPlaneSFTfeatSegformerDecoder(nn.Module):
     inp_ch: int = 6
     res: Optional[int] = 256
     sft_half: bool = True
+    channel_base: int = 32768
+    channel_max: int = 512
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert x.ndim == 4
-        if self.res is not None and x.shape[1] != self.res:
-            x = adaptive_avg_pool(x, self.res)
+        if self.res is not None:
+            from .unet_encoders import _fit_res
+
+            x = _fit_res(x, self.res)
         xf, feats = trunk_layers(self.inp_ch, (2, 6, 20, 21), x, train)
         c0, c1, c2, c3 = feats[2], feats[6], feats[20], feats[21]
 
         body_out = {16: 512, 32: 384, 64: 256, 128: 96, 256: 96}
-        channels_dict = {r: min(32768 // r, 512) for r in (16, 32, 64, 128, 256)}
+        channels_dict = {
+            r: min(self.channel_base // r, self.channel_max) for r in (16, 32, 64, 128, 256)
+        }
 
         def heads(res, tp):
             out_ch = channels_dict[res] // 2 if self.sft_half else channels_dict[res]

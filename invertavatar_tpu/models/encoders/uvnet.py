@@ -62,12 +62,15 @@ class UnetEncoderPair(nn.Module):
             )
 
             self.texture_unet = (
-                TriPlanefeatSegformerDecoder(inp_ch=7, res=256)
+                TriPlanefeatSegformerDecoder(inp_ch=7, res=256,
+                                             out_channels=self.texture_out_channels)
                 if self.encoding_texture
                 else None
             )
             self.triplane_unet = (
-                TriPlaneSFTfeatSegformerDecoder(inp_ch=6, res=256)
+                TriPlaneSFTfeatSegformerDecoder(inp_ch=6, res=256,
+                                                channel_base=self.channel_base,
+                                                channel_max=self.channel_max)
                 if self.encoding_triplane
                 else None
             )

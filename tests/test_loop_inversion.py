@@ -290,3 +290,83 @@ def test_ar_forward_streaming_tiny():
     assert np.isfinite(d) and d > 0
     for f in upd2["texture"] + upd2["static"]:
         assert np.all(np.isfinite(np.asarray(f)))
+
+
+@pytest.mark.slow
+def test_oneshot_step_tiny():
+    """Igen + Ireal + Dgen phases through the segformer one-shot net."""
+    import optax
+
+    from invertavatar_tpu.models.discriminator import DualDiscriminator
+    from invertavatar_tpu.models.encoders.uvnet import InversionNet
+    from invertavatar_tpu.train.dryrun import TINY_RENDERING_KWARGS, _fake_batch
+    from invertavatar_tpu.train.loop_inversion import (
+        make_oneshot_train_step,
+        masked_adam,
+        oneshot_tex_trainable,
+    )
+    from invertavatar_tpu.train.state import TrainState
+
+    gen_cfg = dict(
+        z_dim=32, c_dim=25, w_dim=512, img_resolution=128, img_channels=3,
+        rendering_kwargs=dict(TINY_RENDERING_KWARGS, depth_resolution=6,
+                              depth_resolution_importance=6),
+        neural_rendering_resolution=32, channel_base=1024, channel_max=64,
+        map_num_layers=2,
+    )
+    net = InversionNet(generator_cfg=gen_cfg, unet_type="segformer",
+                       texture_out_channels=(32, 32, 16, 8))
+    rng = jax.random.PRNGKey(0)
+    rngs = {"params": rng, "buffers": jax.random.fold_in(rng, 1),
+            "noise": jax.random.fold_in(rng, 2), "ray": jax.random.fold_in(rng, 3)}
+    raw = _fake_batch(np.random.RandomState(0), batch=1, res=256, z_dim=32)
+    batch = {
+        "image": jnp.asarray(raw["image"]),
+        "c": jnp.asarray(raw["c"]),
+        "v": {"uvcoords_image": jnp.asarray(raw["v"]["uvcoords_image"])},
+        "uv": jnp.zeros((1, 256, 256, 6), jnp.float32),
+        "z": jnp.asarray(raw["z"]),
+        "gen_uv": jnp.zeros((1, 256, 256, 6), jnp.float32),
+    }
+    x = {"image": batch["image"], "uv": batch["uv"]}
+    variables = net.init(rngs, x, batch["c"], batch["v"],
+                         method=lambda m, x, c, v: m(x, c, v))
+    # forward never touches generator.mapping; graft from a full-G init
+    gen_vars = net.init(rngs, batch["z"], batch["c"], batch["v"],
+                        method=lambda m, z, cc, v: m.generator(z, cc, v))
+    variables = dict(variables)
+    variables["params"] = dict(variables["params"])
+    variables["params"]["generator"] = dict(variables["params"]["generator"])
+    variables["params"]["generator"]["backbone"] = gen_vars["params"]["generator"]["backbone"]
+    variables["buffers"] = dict(variables["buffers"])
+    variables["buffers"]["generator"] = gen_vars["buffers"]["generator"]
+    weights = InversionLossWeights(l1=1.0, lpips=0.0, id=0.0, raw_l1=1.0,
+                                   tri=0.001, texture=0.001, adv=0.01)
+    tx = masked_adam(1e-4, oneshot_tex_trainable)
+    D = DualDiscriminator(c_dim=25, img_resolution=128, img_channels=6,
+                          channel_base=1024, channel_max=64, num_fp16_res=0)
+    d_vars = D.init(rngs, {"image": jnp.zeros((1, 128, 128, 3)),
+                           "image_raw": jnp.zeros((1, 32, 32, 3))}, jnp.zeros((1, 25)))
+    d_tx = optax.adam(2e-4)
+    d_state = TrainState(d_vars["params"], d_tx.init(d_vars["params"]),
+                         {k: v for k, v in d_vars.items() if k != "params"})
+    state = TrainState(variables["params"], tx.init(variables["params"]),
+                       {k: v for k, v in variables.items() if k != "params"})
+    step = jax.jit(
+        make_oneshot_train_step(net, D, lambda a, b: jnp.mean(jnp.abs(a - b)), None,
+                                tx, d_tx, weights),
+        static_argnames=("phase", "do_r1"),
+    )
+    s1, d1, aux1 = step(state, d_state, batch, jax.random.PRNGKey(1), phase="Igen")
+    s2, d2, aux2 = step(s1, d1, batch, jax.random.PRNGKey(2), phase="Ireal")
+    s3, d3, aux3 = step(s2, d2, batch, jax.random.PRNGKey(3), phase="Dgen", do_r1=True)
+    for k, v in {**aux1, **aux2, **aux3}.items():
+        assert np.isfinite(float(v)), k
+    # texture unet trained; triplane unet frozen under the tex mask
+    t0 = jax.tree_util.tree_leaves(state.params["unet_encoder"]["texture_unet"])
+    t1 = jax.tree_util.tree_leaves(s2.params["unet_encoder"]["texture_unet"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(t0, t1))
+    f0 = jax.tree_util.tree_leaves(state.params["unet_encoder"]["triplane_unet"])
+    f1 = jax.tree_util.tree_leaves(s2.params["unet_encoder"]["triplane_unet"])
+    for a, b in zip(f0, f1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
