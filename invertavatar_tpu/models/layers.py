@@ -52,7 +52,7 @@ class FullyConnectedLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: Optional[jnp.ndarray], return_params: bool = False):
         # torch init: randn / lr_multiplier, runtime gain lr_multiplier/sqrt(in).
         w = self.param(
             "weight",
@@ -61,7 +61,6 @@ class FullyConnectedLayer(nn.Module):
             jnp.float32,
         )
         weight_gain = self.lr_multiplier / math.sqrt(self.in_features)
-        x = _matmul(x.astype(self.dtype), (w * weight_gain).astype(self.dtype))
         b = None
         if self.use_bias:
             b = self.param(
@@ -70,6 +69,11 @@ class FullyConnectedLayer(nn.Module):
                 (self.out_features,),
                 jnp.float32,
             )
+        if return_params:
+            # effective (gain-folded) weights, e.g. for fused Pallas decoders
+            return w * weight_gain, (b * self.lr_multiplier if b is not None else None)
+        x = _matmul(x.astype(self.dtype), (w * weight_gain).astype(self.dtype))
+        if b is not None:
             b = (b * self.lr_multiplier).astype(self.dtype)
         return bias_act(x, b, act=self.activation)
 

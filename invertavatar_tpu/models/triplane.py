@@ -44,18 +44,25 @@ class OSGDecoder(nn.Module):
     decoder_output_dim: int = 32
 
     @nn.compact
-    def __call__(self, sampled_features: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    def __call__(self, sampled_features, return_params: bool = False):
+        fc0 = FullyConnectedLayer(
+            self.n_features, self.hidden_dim, lr_multiplier=self.decoder_lr_mul, name="fc0"
+        )
+        fc1 = FullyConnectedLayer(
+            self.hidden_dim, 1 + self.decoder_output_dim, lr_multiplier=self.decoder_lr_mul, name="fc1"
+        )
+        if return_params:
+            # effective (w1, b1, w2, b2) for the fused Pallas render kernel
+            w1, b1 = fc0(None, return_params=True)
+            w2, b2 = fc1(None, return_params=True)
+            return w1, b1, w2, b2
         # [B, 3, M, C] -> mean over planes -> MLP
         x = jnp.mean(sampled_features.astype(jnp.float32), axis=1)
         B, M, C = x.shape
         x = x.reshape(B * M, C)
-        x = FullyConnectedLayer(
-            self.n_features, self.hidden_dim, lr_multiplier=self.decoder_lr_mul, name="fc0"
-        )(x)
+        x = fc0(x)
         x = jax.nn.softplus(x)
-        x = FullyConnectedLayer(
-            self.hidden_dim, 1 + self.decoder_output_dim, lr_multiplier=self.decoder_lr_mul, name="fc1"
-        )(x)
+        x = fc1(x)
         x = x.reshape(B, M, -1)
         rgb = jax.nn.sigmoid(x[..., 1:]) * (1 + 2 * 0.001) - 0.001  # MipNeRF sigmoid clamp
         sigma = x[..., 0:1]
@@ -222,8 +229,10 @@ class TriPlaneGenerator(nn.Module):
         blended_planes = self._blend_planes(rendering_stitch, full_alpha, static_plane)
 
         decoder = lambda feats: self.decoder(feats)
+        decoder_params = self.decoder(None, return_params=True)
         feature_samples, depth_samples, _ = self.renderer(
-            blended_planes, decoder, ray_o, ray_d, rk, evaluation=evaluation, rng=rng
+            blended_planes, decoder, ray_o, ray_d, rk, evaluation=evaluation, rng=rng,
+            decoder_params=decoder_params,
         )
         B = ws.shape[0]
         feature_image = feature_samples.reshape(B, res, res, feature_samples.shape[-1])

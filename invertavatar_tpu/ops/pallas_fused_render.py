@@ -1,0 +1,269 @@
+"""Pallas TPU kernel: fused tri-plane sampling + OSG decoder MLP.
+
+The flagship volume-render cost (SURVEY §7 hard-part #1) is dominated by the
+tri-plane feature lookup. The v2 windowed kernel (`pallas_plane_sample.py`)
+runs one grid step per (plane × ray-tile × stratum) and is per-step-overhead
+bound (~6 µs/step over 9216 steps). This kernel fuses the whole point pipeline
+of reference `renderer.py:353-363` + `triplane_v20.py:426-438` into one step
+per (ray-tile × stratum):
+
+  1. async-copy the three plane windows HBM→VMEM (double-buffered),
+  2. per plane: bilinear tent contraction on the MXU (v2's compact-weight
+     expander + lane-fold formulation),
+  3. mean over the 3 planes (the OSGDecoder reduction),
+  4. the 32→64-softplus→33 decoder MLP on the MXU, MipNeRF sigmoid clamp,
+
+so per-point features never leave VMEM and the step count drops 3×. Output is
+the decoder's (sigma, rgb) directly — the XLA side goes straight to the ray
+marcher.
+
+Eval-only fast path: no custom VJP (training uses the XLA-composed sampler).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _tent_contract(blk, gy, gx, ys_f, xs_f, *, P, win_r, win_c, C, H, W, exact):
+    """Bilinear interpolation of P points from a [win_r, win_c*C] window.
+
+    Same math as pallas_plane_sample._kernel: compact tent weights on the VPU,
+    lane expansion + row contraction + channel fold on the MXU.
+    Returns [P, C] fp32.
+    """
+    dt = blk.dtype
+    ly = gy - ys_f  # [P] window-local continuous coords
+    lx = gx - xs_f
+
+    iy = jax.lax.broadcasted_iota(jnp.int32, (P, win_r), 1).astype(jnp.float32)
+    ohy = jnp.maximum(0.0, 1.0 - jnp.abs(iy - ly[:, None]))
+    ay = iy + ys_f
+    ohy = ohy * ((ay >= 0.0) & (ay < H)).astype(jnp.float32)
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (P, win_c), 1).astype(jnp.float32)
+    ohx_small = jnp.maximum(0.0, 1.0 - jnp.abs(ix - lx[:, None]))
+    axp = ix + xs_f
+    ohx_small = ohx_small * ((axp >= 0.0) & (axp < W)).astype(jnp.float32)
+
+    # x expander [win_c, win_c*C]: E[x, j] = 1 iff j//C == x
+    jx_e = jax.lax.broadcasted_iota(jnp.int32, (win_c, win_c * C), 1) // C
+    x_e = jax.lax.broadcasted_iota(jnp.int32, (win_c, win_c * C), 0)
+    expander = (jx_e == x_e).astype(dt)
+
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    ohx = jax.lax.dot_general(
+        ohx_small.astype(dt), expander,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # [P, win_c*C]
+    tmp = jax.lax.dot_general(
+        ohy.astype(dt), blk,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # [P, win_c*C] fp32
+    prod = tmp * ohx
+
+    lanes = win_c * C
+    if lanes % 128 == 0 and 128 % C == 0:
+        acc = prod[:, 0:128]
+        for k in range(1, lanes // 128):
+            acc = acc + prod[:, k * 128 : (k + 1) * 128]
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (128, C), 0) % C
+        ch = jax.lax.broadcasted_iota(jnp.int32, (128, C), 1)
+        fold = (lane_c == ch).astype(dt)
+        return jax.lax.dot_general(
+            acc.astype(dt), fold,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (lanes, C), 0) % C
+    ch = jax.lax.broadcasted_iota(jnp.int32, (lanes, C), 1)
+    sel = (lane_c == ch).astype(dt)
+    return jax.lax.dot_general(
+        prod.astype(dt), sel,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+
+
+def _kernel(
+    ys_ref,  # scalar prefetch [3, G] int32 window row starts per plane
+    xsc_ref,  # scalar prefetch [3, G] int32 col starts × C (flattened cols)
+    planes_ref,  # [3, H, W*C] HBM (row-flattened)
+    gy_ref,  # [1, 3, P] fp32 absolute pixel rows per plane
+    gx_ref,  # [1, 3, P]
+    w1_ref,  # [C, HID] effective fc0 weight (gain folded)
+    b1_ref,  # [1, HID]
+    w2_ref,  # [HID, O] effective fc1 weight
+    b2_ref,  # [1, O]
+    out_ref,  # [1, P, O]: lane 0 = raw sigma, lanes 1: = clamped-sigmoid rgb
+    win,  # scratch [2, 3, WIN_R, WIN_C*C] double buffer
+    sems,  # DMA semaphores (2, 3)
+    *,
+    win_r: int,
+    win_c: int,
+    P: int,
+    C: int,
+    H: int,
+    W: int,
+    exact: bool,
+):
+    g = pl.program_id(0)
+    G = pl.num_programs(0)
+    slot = jax.lax.rem(g, 2)
+    dt = win.dtype
+    row_align = 8 if dt == jnp.float32 else 16
+
+    def dma(step, sem_slot, p):
+        ys = pl.multiple_of(ys_ref[p, step], row_align)
+        xsc = pl.multiple_of(xsc_ref[p, step], 128)
+        return pltpu.make_async_copy(
+            planes_ref.at[p, pl.ds(ys, win_r), pl.ds(xsc, win_c * C)],
+            win.at[sem_slot, p],
+            sems.at[sem_slot, p],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        for p in range(3):
+            dma(0, 0, p).start()
+
+    @pl.when(g + 1 < G)
+    def _():
+        for p in range(3):
+            dma(g + 1, 1 - slot, p).start()
+
+    acc = jnp.zeros((P, C), jnp.float32)
+    for p in range(3):
+        ys_f = ys_ref[p, g].astype(jnp.float32)
+        xs_f = (xsc_ref[p, g] // C).astype(jnp.float32)
+        gy = gy_ref[0, p, :]
+        gx = gx_ref[0, p, :]
+        dma(g, slot, p).wait()
+        acc = acc + _tent_contract(
+            win[slot, p], gy, gx, ys_f, xs_f,
+            P=P, win_r=win_r, win_c=win_c, C=C, H=H, W=W, exact=exact,
+        )
+
+    x = acc * (1.0 / 3.0)  # OSGDecoder mean over planes (triplane_v20.py:429)
+    # the MLP stays fp32 even on the bf16 fast path — it is tiny (K=32/64) and
+    # fp32 here keeps the fast path's error in the payload, not the decoder
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    h = jax.lax.dot_general(
+        x, w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ) + b1_ref[0, :][None, :]
+    h = jax.nn.softplus(h)
+    o = jax.lax.dot_general(
+        h, w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ) + b2_ref[0, :][None, :]
+    sigma = o[:, 0:1]
+    rgb = jax.nn.sigmoid(o[:, 1:]) * (1 + 2 * 0.001) - 0.001
+    out_ref[0, :, :] = jnp.concatenate([sigma, rgb], axis=-1).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W", "O", "exact")
+)
+def _fused_call(planes3, ys, xsc, gy, gx, w1, b1, w2, b2,
+                win_r: int, win_c: int, C: int, H: int, W: int, O: int, exact: bool):
+    _, G, P = gy.shape  # gy: [3, G, P] -> rearranged to [G, 3, P] blocks
+    gy = jnp.transpose(gy, (1, 0, 2))
+    gx = jnp.transpose(gx, (1, 0, 2))
+    HID = w1.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # planes stay in HBM
+            pl.BlockSpec((1, 3, P), lambda g, ys, xsc: (g, 0, 0)),
+            pl.BlockSpec((1, 3, P), lambda g, ys, xsc: (g, 0, 0)),
+            pl.BlockSpec((C, HID), lambda g, ys, xsc: (0, 0)),
+            pl.BlockSpec((1, HID), lambda g, ys, xsc: (0, 0)),
+            pl.BlockSpec((HID, O), lambda g, ys, xsc: (0, 0)),
+            pl.BlockSpec((1, O), lambda g, ys, xsc: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, P, O), lambda g, ys, xsc: (g, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, win_r, win_c * C), planes3.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel, win_r=win_r, win_c=win_c, P=P, C=C, H=H, W=W, exact=exact
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, P, O), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ys, xsc, planes3, gy, gx, w1.astype(jnp.float32), b1.reshape(1, -1).astype(jnp.float32),
+      w2.astype(jnp.float32), b2.reshape(1, -1).astype(jnp.float32))
+
+
+def fused_render_pallas(
+    planes: jnp.ndarray,  # [3, H, W, C] (single batch item)
+    grid: jnp.ndarray,  # [3, R, S, 2] plane-space xy in [-1, 1], rays row-major
+    decoder_params,  # (w1 [C,HID], b1 [HID], w2 [HID,1+out], b2 [1+out]) effective
+    res: int,
+    tile: int = 16,
+    window: int = 48,
+    payload_dtype=jnp.bfloat16,
+):
+    """Fused windowed sampling + OSG decoder -> (rgb [R,S,out], sigma [R,S,1]).
+
+    Exactness of the interpolation requires each (ray-tile × stratum) plane
+    footprint to fit `window` texels — guaranteed for the structured coarse
+    pass at the flagship geometry (16-px tile spans <28 texels, one stratum
+    <8). This is the bf16 FAST PATH only: the payload error class is ~1e-2 on
+    features, and Mosaic's log() limits in-kernel softplus to ~3e-4 relative —
+    exact configs route through the v2 sampling kernel + XLA decoder instead.
+    """
+    N, H, W, C = planes.shape
+    assert N == 3
+    R, S = grid.shape[1], grid.shape[2]
+    assert R == res * res and res % tile == 0
+    t_side = res // tile
+    T = t_side * t_side
+    P = tile * tile
+
+    g = grid.reshape(N, t_side, tile, t_side, tile, S, 2)
+    g = jnp.transpose(g, (0, 1, 3, 5, 2, 4, 6)).reshape(N, T * S, P, 2)
+    gx = (g[..., 0].astype(jnp.float32) + 1.0) * (W * 0.5) - 0.5
+    gy = (g[..., 1].astype(jnp.float32) + 1.0) * (H * 0.5) - 0.5
+
+    row_align = 8 if payload_dtype == jnp.float32 else 16
+    xalign = max(1, 128 // C)
+    win_r = window + row_align
+    win_c = window + xalign
+    xs = jnp.clip(jnp.floor(jnp.min(gx, axis=-1)).astype(jnp.int32) - 1, 0, max(W - win_c, 0))
+    ys = jnp.clip(jnp.floor(jnp.min(gy, axis=-1)).astype(jnp.int32) - 1, 0, max(H - win_r, 0))
+    ys = (ys // row_align) * row_align
+    xs = (xs // xalign) * xalign
+
+    w1, b1, w2, b2 = decoder_params
+    O = w2.shape[1]  # 1 + decoder_output_dim
+    out = _fused_call(
+        planes.astype(payload_dtype).reshape(N, H, W * C),
+        ys, xs * C, gy, gx, w1, b1, w2, b2,
+        win_r=win_r, win_c=win_c, C=C, H=H, W=W, O=O,
+        exact=False,
+    )  # [T*S, P, O]
+    out = out.reshape(t_side, t_side, S, tile, tile, O)
+    out = jnp.transpose(out, (0, 3, 1, 4, 2, 5)).reshape(R, S, O)
+    return out[..., 1:], out[..., 0:1]

@@ -21,13 +21,15 @@ def mip_ray_march(
     white_back: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     colors = colors.astype(jnp.float32)
-    densities = densities.astype(jnp.float32)
-    depths = depths.astype(jnp.float32)
+    # TPU layout note: the per-ray scalars (density, depth, weight) run as
+    # [B, R, S] — a trailing singleton would put the lane dimension at width 1
+    # and waste 127/128 of every VPU op on this hot path.
+    dens = densities.astype(jnp.float32)[..., 0]  # [B, R, S]
+    dep = depths.astype(jnp.float32)[..., 0]
 
-    deltas = depths[:, :, 1:] - depths[:, :, :-1]
-    colors_mid = (colors[:, :, :-1] + colors[:, :, 1:]) * 0.5
-    densities_mid = (densities[:, :, :-1] + densities[:, :, 1:]) * 0.5
-    depths_mid = (depths[:, :, :-1] + depths[:, :, 1:]) * 0.5
+    deltas = dep[:, :, 1:] - dep[:, :, :-1]
+    densities_mid = (dens[:, :, :-1] + dens[:, :, 1:]) * 0.5
+    depths_mid = (dep[:, :, :-1] + dep[:, :, 1:]) * 0.5
 
     # activation bias of -1 makes things initialize better (clamp_mode=softplus)
     densities_mid = jax.nn.softplus(densities_mid - 1.0)
@@ -36,18 +38,24 @@ def mip_ray_march(
     alpha = 1.0 - jnp.exp(-density_delta)
 
     alpha_shifted = jnp.concatenate(
-        [jnp.ones_like(alpha[:, :, :1]), 1.0 - alpha + 1e-10], axis=-2
+        [jnp.ones_like(alpha[:, :, :1]), 1.0 - alpha + 1e-10], axis=-1
     )
-    weights = alpha * jnp.cumprod(alpha_shifted, axis=-2)[:, :, :-1]
+    weights = alpha * jnp.cumprod(alpha_shifted, axis=-1)[:, :, :-1]  # [B, R, S-1]
 
-    composite_rgb = jnp.sum(weights * colors_mid, axis=-2)
-    weight_total = jnp.sum(weights, axis=2)
-    composite_depth = jnp.sum(weights * depths_mid, axis=-2) / weight_total
+    # colors_mid reduction as one einsum: Σ_s w[s]·(c[s]+c[s+1])/2
+    # == 0.5·(Σ w·c[:-1] + Σ w·c[1:]) — contract on the MXU instead of
+    # materializing the [B, R, S-1, C] midpoint tensor.
+    composite_rgb = 0.5 * (
+        jnp.einsum("brs,brsc->brc", weights, colors[:, :, :-1])
+        + jnp.einsum("brs,brsc->brc", weights, colors[:, :, 1:])
+    )
+    weight_total = jnp.sum(weights, axis=-1, keepdims=True)  # [B, R, 1]
+    composite_depth = jnp.sum(weights * depths_mid, axis=-1, keepdims=True) / weight_total
     composite_depth = jnp.nan_to_num(composite_depth, posinf=jnp.inf, nan=jnp.inf)
-    composite_depth = jnp.clip(composite_depth, jnp.min(depths), jnp.max(depths))
+    composite_depth = jnp.clip(composite_depth, jnp.min(dep), jnp.max(dep))
 
     if white_back:
         composite_rgb = composite_rgb + 1.0 - weight_total
 
     composite_rgb = composite_rgb * 2.0 - 1.0  # scale to (-1, 1)
-    return composite_rgb, composite_depth, weights
+    return composite_rgb, composite_depth, weights[..., None]
