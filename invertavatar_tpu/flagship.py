@@ -30,10 +30,14 @@ FLAGSHIP_RENDERING_KWARGS = {
     "avg_camera_radius": 2.7,
     "avg_camera_pivot": [0, 0, 0.2],
     "det_stratified": True,
-    # TPU fast path: coarse-pass tri-plane sampling through the Pallas
-    # windowed kernel (bf16 payload, ~4e-3 max rgb deviation, ~35% faster
-    # frames — docs/PERF_NOTES.md). Ignored off-TPU (exact patch gather).
+    # TPU fast path: both render passes through the fused Pallas kernel
+    # (bf16 payload + in-VMEM OSG decoder); the fine pass rides it via the
+    # tile-pooled importance CDF. Flagship-geometry fidelity evidence
+    # (docs/fidelity_flagship.json, scripts/fidelity_flagship.py): PSNR
+    # >= 45.6 dB vs the live torch reference, identical with and without
+    # pooling (exact path: 55.5 dB). Ignored off-TPU (exact patch gather).
     "pallas_coarse": True,
+    "pooled_importance": True,
 }
 
 
