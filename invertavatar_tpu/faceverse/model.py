@@ -183,6 +183,35 @@ class FaceVerseModel:
         return jnp.transpose(jnp.matmul(jnp.matmul(rot_z, rot_y), rot_x), (0, 2, 1))
 
 
+def rigid_transform(vs: jnp.ndarray, rot: jnp.ndarray, trans: jnp.ndarray,
+                    scale: jnp.ndarray) -> jnp.ndarray:
+    """World transform (FaceVerseModel_v3.py:393-396): (vs·scale) @ rot + trans."""
+    return jnp.matmul(vs * scale, rot) + trans.reshape(-1, 1, 3)
+
+
+def compute_norm(vs: jnp.ndarray, tri: jnp.ndarray, point_buf: jnp.ndarray) -> jnp.ndarray:
+    """Per-vertex normals (FaceVerseModel_v3.py:271-284): sum of adjacent
+    (unnormalized) face normals gathered via point_buf [V, K] (a padded
+    per-vertex face-adjacency list), then unit-normalized."""
+    v1 = vs[:, tri[:, 0]]
+    v2 = vs[:, tri[:, 1]]
+    v3 = vs[:, tri[:, 2]]
+    face_norm = jnp.cross(v1 - v2, v2 - v3)  # [B, F, 3]
+    v_norm = jnp.sum(face_norm[:, point_buf], axis=2)  # [B, V, K, 3] -> [B, V, 3]
+    return v_norm / (jnp.linalg.norm(v_norm, axis=2, keepdims=True) + 1e-9)
+
+
+def project_vs(vs: jnp.ndarray, K: jnp.ndarray, cam_dist: float = 5.0) -> jnp.ndarray:
+    """Perspective projection to pixel coords (ModelRenderer.project_vs,
+    FaceVerseModel_v3.py:500-508): world xz flip, camera at (0,0,cam_dist),
+    pinhole K, perspective divide."""
+    reverse_xz = jnp.asarray([[-1.0, 0, 0], [0, 1.0, 0], [0, 0, -1.0]])
+    cam = jnp.asarray([0.0, 0.0, cam_dist])
+    p = jnp.matmul(vs, reverse_xz) + cam
+    aug = jnp.matmul(p, jnp.asarray(K).T)
+    return aug[..., :2] / aug[..., 2:3]
+
+
 def batch_orth_proj(X: jnp.ndarray, camera: jnp.ndarray) -> jnp.ndarray:
     """Orthographic projection (reference renderer.py:636-646): scale/translate xy."""
     camera = camera.reshape(-1, 1, 3)
