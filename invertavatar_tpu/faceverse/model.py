@@ -30,6 +30,10 @@ class FaceVerseAssets(NamedTuple):
     id_dims: int
     exp_dims: int
     tex_dims: int
+    # fitting-side texture model (FaceVerseModel_v3.py:46,266-269); None when
+    # the published dict is loaded without them (geometry-only use)
+    tex_base: Optional[np.ndarray] = None  # [3V, tex_dims]
+    meantex: Optional[np.ndarray] = None  # [1, 3V]
 
 
 def load_faceverse_assets(
@@ -69,6 +73,14 @@ def load_faceverse_assets(
         id_dims=id_base.shape[1],
         exp_dims=exp_dims,
         tex_dims=int(model_dict["texBase"].shape[1]) if "texBase" in model_dict else 251,
+        tex_base=(
+            np.asarray(model_dict["texBase"], np.float32) if "texBase" in model_dict else None
+        ),
+        meantex=(
+            np.asarray(model_dict["meantex"], np.float32).reshape(1, -1)
+            if "meantex" in model_dict
+            else None
+        ),
     )
 
 
@@ -129,6 +141,49 @@ class FaceVerseModel:
             r = jnp.matmul(vs[:, i1:i2] - r_eye_mean, r_eye_mat) + r_eye_mean
             vs = jnp.concatenate([vs[:, :i0], l, r, vs[:, i2:]], axis=1)
         return vs
+
+    def get_color(self, tex_coeff) -> jnp.ndarray:
+        """Per-vertex albedo from the texture basis (FaceVerseModel_v3.py:266-269)."""
+        a = self.assets
+        assert a.tex_base is not None, "model dict loaded without texBase/meantex"
+        tex = jnp.einsum("ij,aj->ai", jnp.asarray(a.tex_base), tex_coeff) + jnp.asarray(a.meantex)
+        return tex.reshape(tex_coeff.shape[0], -1, 3)
+
+    @staticmethod
+    def add_illumination(face_texture, norm, gamma) -> jnp.ndarray:
+        """2nd-order SH illumination of per-vertex albedo
+        (FaceVerseModel_v3.py:359-391): gamma [B, 27] = 3x9 SH coeffs with a
+        +0.8 ambient offset on band 0; standard SH basis over vertex normals."""
+        B, V = face_texture.shape[:2]
+        gamma = gamma.reshape(B, 3, 9)
+        gamma = gamma.at[:, :, 0].add(0.8)
+        gamma = jnp.transpose(gamma, (0, 2, 1))  # [B, 9, 3]
+
+        a0 = np.pi
+        a1 = 2 * np.pi / np.sqrt(3.0)
+        a2 = 2 * np.pi / np.sqrt(8.0)
+        c0 = 1 / np.sqrt(4 * np.pi)
+        c1 = np.sqrt(3.0) / np.sqrt(4 * np.pi)
+        c2 = 3 * np.sqrt(5.0) / np.sqrt(12 * np.pi)
+        d0 = 0.5 / np.sqrt(3.0)
+
+        nx, ny, nz = norm[..., 0], norm[..., 1], norm[..., 2]  # [B, V]
+        H = jnp.stack(
+            [
+                a0 * c0 * jnp.ones_like(nx),
+                -a1 * c1 * ny,
+                a1 * c1 * nz,
+                -a1 * c1 * nx,
+                a2 * c2 * nx * ny,
+                -a2 * c2 * ny * nz,
+                a2 * c2 * d0 * (3 * nz**2 - 1),
+                -a2 * c2 * nx * nz,
+                a2 * c2 * 0.5 * (nx**2 - ny**2),
+            ],
+            axis=-1,
+        )  # [B, V, 9]
+        lighting = jnp.matmul(H, gamma)  # [B, V, 3]
+        return face_texture * lighting
 
     def _eye_shape(self, id_coeff):
         a = self.assets
