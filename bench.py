@@ -53,28 +53,53 @@ def main():
 
     frame_jit = jax.jit(frame)
 
+    import numpy as np
+
     # warmup / compile
     out = frame_jit(variables, ws, tex, static, c, uvc)
-    jax.block_until_ready(out)
+    np.asarray(out[0, 0, 0, :1])  # block_until_ready is a no-op through the
+    # axon relay (docs/PERF_NOTES.md); a scalar readback actually fences
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "30"))
     t0 = time.perf_counter()
     for i in range(n_frames):
         out = frame_jit(variables, ws, tex, static, c, uvc)
-    jax.block_until_ready(out)
+    np.asarray(out[0, 0, 0, :1])
     dt = time.perf_counter() - t0
     fps = n_frames / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "reenact_512_fps_per_chip",
-                "value": round(fps, 3),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
-        )
-    )
+    # MFU: XLA-counted flops of the jitted frame / chip peak (bf16 matmul
+    # path peak; the frame mixes fp32 and bf16 so this is a lower bound)
+    peak_tflops = {
+        # bf16 dense peak per chip
+        "TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v5": 459.0,
+        "TPU v5p": 459.0, "TPU v4": 275.0, "TPU v6e": 918.0, "TPU v6 lite": 918.0,
+    }
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in peak_tflops.items() if k.lower() in kind.lower()), 197.0)
+    mfu = None
+    flops = None
+    try:
+        cost = frame_jit.lower(variables, ws, tex, static, c, uvc).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops * fps / (peak * 1e12)
+    except Exception:
+        pass
+
+    rec = {
+        "metric": "reenact_512_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+    if mfu is not None:
+        rec["mfu"] = round(mfu, 4)
+        rec["model_flops_per_frame"] = flops
+        rec["device_kind"] = kind
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

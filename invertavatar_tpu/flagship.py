@@ -41,21 +41,26 @@ FLAGSHIP_RENDERING_KWARGS = {
 }
 
 
-def flagship_generator(neural_rendering_resolution: int = 128) -> TriPlaneGenerator:
+def flagship_generator(
+    neural_rendering_resolution: int = 128, num_fp16_res: int = 4
+) -> TriPlaneGenerator:
+    """The reference trains G in fp32 (--g_num_fp16_res 0) and SR with 4 fp16
+    resolutions (train_avatar_texture.py:215-217). The TPU eval default runs
+    the G backbones in bf16 too (num_fp16_res=4, conv_clamp kept at 256):
+    fidelity evidence in docs/fidelity_flagship.json ('bf16_backbones'
+    variant). Pass num_fp16_res=0 for the reference-exact fp32 backbones."""
     return TriPlaneGenerator(
         z_dim=512,
         c_dim=25,
         w_dim=512,
         img_resolution=512,
         img_channels=3,
-        # the reference trains/ships with 4 fp16 SR resolutions
-        # (train_avatar_texture.py:215); bf16 on TPU
         sr_num_fp16_res=4,
         rendering_kwargs=dict(FLAGSHIP_RENDERING_KWARGS),
         neural_rendering_resolution=neural_rendering_resolution,
         channel_base=32768,
         channel_max=512,
-        num_fp16_res=0,
+        num_fp16_res=num_fp16_res,
         conv_clamp=256.0,
         map_num_layers=2,
     )

@@ -165,3 +165,33 @@ def make_torch_inception_detector(detector_path: str, batch_cpu: bool = True):
         return feats.numpy()
 
     return detect
+
+
+def make_vert_conditioned_sample_fn(G, variables, z_dim: int = 512, dataset=None):
+    """Generator sampler for metric eval (reference metric_utils.py:61-88):
+    draw z ~ N(0,1) and (label, vert) pairs from random dataset items, render
+    with the (EMA) generator, return [-1,1] NHWC numpy images.
+
+    `dataset[i]` must provide 'c' [25] and 'v' {'uvcoords_image': [256,256,3]}
+    (the training dataset layout, data/dataset.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    fwd = jax.jit(
+        lambda v, z, c, uvc: G.apply(
+            v, z, c, {"uvcoords_image": uvc}, noise_mode="const", evaluation=True
+        )["image"]
+    )
+
+    def sample_fn(batch: int, rng: np.random.RandomState) -> np.ndarray:
+        z = rng.randn(batch, z_dim).astype(np.float32)
+        idx = rng.randint(len(dataset), size=batch)
+        cs, uvs = [], []
+        for i in idx:
+            item = dataset[int(i)]
+            cs.append(np.asarray(item["c"], np.float32))
+            uvs.append(np.asarray(item["v"]["uvcoords_image"], np.float32))
+        out = fwd(variables, jnp.asarray(z), jnp.asarray(np.stack(cs)), jnp.asarray(np.stack(uvs)))
+        return np.asarray(out, np.float32)
+
+    return sample_fn

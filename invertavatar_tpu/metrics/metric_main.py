@@ -60,6 +60,16 @@ def fid2k(dataset=None, sample_fn=None, detector_fn=None, cache_dir=None):
 
 
 @register_metric
+def fid64(dataset=None, sample_fn=None, detector_fn=None, cache_dir=None):
+    """Tiny-sample FID for smoke tests / fast sanity ticks (64 real, 64 gen)."""
+    from .fid import compute_fid, dataset_feature_stats, generator_feature_stats
+
+    real = dataset_feature_stats(dataset, detector_fn, max_items=64, cache_dir=cache_dir)
+    gen = generator_feature_stats(sample_fn, detector_fn, num_items=64)
+    return {"fid64": compute_fid(real, gen)}
+
+
+@register_metric
 def kid50k_full(dataset=None, sample_fn=None, detector_fn=None, max_real=1000000,
                 num_gen=50000):
     from .fid import compute_kid, to_uint8

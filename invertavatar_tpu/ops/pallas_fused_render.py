@@ -224,6 +224,7 @@ def fused_render_pallas(
     tile: int = 16,
     window: int = 48,
     payload_dtype=jnp.bfloat16,
+    s_group: int = 1,
 ):
     """Fused windowed sampling + OSG decoder -> (rgb [R,S,out], sigma [R,S,1]).
 
@@ -244,13 +245,24 @@ def fused_render_pallas(
 
     g = grid.reshape(N, t_side, tile, t_side, tile, S, 2)
     g = jnp.transpose(g, (0, 1, 3, 5, 2, 4, 6)).reshape(N, T * S, P, 2)
+    S_g, P_g = S, P
+    if s_group > 1:
+        # fold s_group adjacent strata into one grid step (fewer, bigger
+        # steps); the window must additionally cover the inter-stratum drift
+        assert S % s_group == 0
+        S_g = S // s_group
+        P_g = P * s_group
+        g = g.reshape(N, T * S_g, P_g, 2)
     gx = (g[..., 0].astype(jnp.float32) + 1.0) * (W * 0.5) - 0.5
     gy = (g[..., 1].astype(jnp.float32) + 1.0) * (H * 0.5) - 0.5
 
     row_align = 8 if payload_dtype == jnp.float32 else 16
     xalign = max(1, 128 // C)
-    win_r = window + row_align
-    win_c = window + xalign
+    # win_r must be a row_align multiple: the clip ceiling H - win_r is then
+    # itself aligned, so aligning ys down never pulls a bottom-edge window off
+    # its footprint (H is a row_align multiple for all shipped plane sizes)
+    win_r = -(-(window + row_align) // row_align) * row_align
+    win_c = -(-(window + xalign) // xalign) * xalign
     xs = jnp.clip(jnp.floor(jnp.min(gx, axis=-1)).astype(jnp.int32) - 1, 0, max(W - win_c, 0))
     ys = jnp.clip(jnp.floor(jnp.min(gy, axis=-1)).astype(jnp.int32) - 1, 0, max(H - win_r, 0))
     ys = (ys // row_align) * row_align
@@ -263,7 +275,7 @@ def fused_render_pallas(
         ys, xs * C, gy, gx, w1, b1, w2, b2,
         win_r=win_r, win_c=win_c, C=C, H=H, W=W, O=O,
         exact=False,
-    )  # [T*S, P, O]
-    out = out.reshape(t_side, t_side, S, tile, tile, O)
-    out = jnp.transpose(out, (0, 3, 1, 4, 2, 5)).reshape(R, S, O)
+    )  # [T*S_g, P_g, O]
+    out = out.reshape(t_side, t_side, S_g, s_group, tile, tile, O)
+    out = jnp.transpose(out, (0, 4, 1, 5, 2, 3, 6)).reshape(R, S, O)
     return out[..., 1:], out[..., 0:1]

@@ -218,11 +218,13 @@ def sample_planes_windowed_pallas(
     gy = (g[..., 1].astype(jnp.float32) + 1.0) * (H * 0.5) - 0.5
 
     # HBM tiling requires DMA starts aligned to (8/16 rows, 128 lanes); align
-    # the window starts down and widen the window to cover the slack.
+    # the window starts down and widen the window to cover the slack. win_r is
+    # rounded to a row_align multiple so the clip ceiling H - win_r stays
+    # aligned (otherwise bottom-edge windows get pulled off their footprint).
     row_align = 8 if payload_dtype == jnp.float32 else 16
     xalign = max(1, 128 // C)
-    win_r = window + row_align
-    win_c = window + xalign
+    win_r = -(-(window + row_align) // row_align) * row_align
+    win_c = -(-(window + xalign) // xalign) * xalign
     xs = jnp.clip(jnp.floor(jnp.min(gx, axis=-1)).astype(jnp.int32) - 1, 0, max(W - win_c, 0))
     ys = jnp.clip(jnp.floor(jnp.min(gy, axis=-1)).astype(jnp.int32) - 1, 0, max(H - win_r, 0))
     ys = (ys // row_align) * row_align

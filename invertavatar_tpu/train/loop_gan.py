@@ -67,6 +67,9 @@ def train_gan(
     max_steps: Optional[int] = None,
     resume_dir: Optional[str] = None,
     augment_pipe=None,  # train.augment.AugmentPipe (ADA); None disables
+    metric_names=(),  # e.g. ("fid50k_full",) — evaluated at snapshot ticks
+    metric_dataset=None,  # dataset with items {'image', 'c', 'v'} for real stats + (c, v) sampling
+    metric_detector_fn=None,  # detector(uint8 NHWC) -> [N, D] features
 ):
     mesh = mesh or make_mesh()
     os.makedirs(cfg.run_dir, exist_ok=True)
@@ -223,6 +226,32 @@ def train_gan(
                     )
                 except Exception as e:  # snapshot rendering must never kill training
                     print(f"[warn] image snapshot failed: {e}")
+                # in-training metric eval at snapshot ticks (reference
+                # training_loop.py:494-503 + metric_main.py:72-82 jsonl)
+                if metric_names and metric_dataset is not None and metric_detector_fn is not None:
+                    from ..metrics import metric_main
+                    from ..metrics.fid import make_vert_conditioned_sample_fn
+
+                    nrr_m = neural_rendering_resolution(cfg.loss, cur_nimg)
+                    G_m = dataclasses.replace(G, neural_rendering_resolution=nrr_m)
+                    sample_fn = make_vert_conditioned_sample_fn(
+                        G_m,
+                        {"params": ema_params, "buffers": g_state.buffers},
+                        z_dim=G.z_dim,
+                        dataset=metric_dataset,
+                    )
+                    for mname in metric_names:
+                        entry = metric_main.calc_metric(
+                            mname,
+                            run_dir=cfg.run_dir,
+                            dataset=metric_dataset,
+                            sample_fn=sample_fn,
+                            detector_fn=metric_detector_fn,
+                            cache_dir=os.path.join(cfg.run_dir, "metric-cache"),
+                        )
+                        for k, v in entry["results"].items():
+                            print(f"metric {k} = {v:.4f}")
+                            collector.report(f"Metrics/{k}", v)
         if max_steps and step_idx >= max_steps:
             break
     logger.close()

@@ -129,9 +129,13 @@ def main():
 
     # JAX side at the same geometry
     variants = {
-        "exact": dict(pallas_coarse=False, bf16_gather=False, sr_num_fp16_res=0),
-        "default": dict(pallas_coarse=True),
-        "pooled": dict(pallas_coarse=True, pooled_importance=True),
+        "exact": dict(pallas_coarse=False, bf16_gather=False, sr_num_fp16_res=0,
+                      num_fp16_res=0, pooled_importance=False),
+        "default": dict(pallas_coarse=True, pooled_importance=False, num_fp16_res=0),
+        "pooled": dict(pallas_coarse=True, pooled_importance=True, num_fp16_res=0),
+        # the shipped TPU eval default: fused bf16 render + pooled fine +
+        # bf16 G backbones (flagship.py)
+        "bf16_backbones": dict(pallas_coarse=True, pooled_importance=True, num_fp16_res=4),
     }
 
     results = {}
@@ -144,13 +148,15 @@ def main():
     lp_fn = jax.jit(lambda a, b: lp.apply(lp_vars, a, b))
 
     for name, over in variants.items():
+        over = dict(over)
         sr_fp16 = over.pop("sr_num_fp16_res", 4)
+        g_fp16 = over.pop("num_fp16_res", 0)
         G = TriPlaneGenerator(
             z_dim=512, c_dim=25, w_dim=512, img_resolution=512, img_channels=3,
             sr_num_fp16_res=sr_fp16,
             rendering_kwargs=dict(FLAGSHIP_RENDERING_KWARGS, **over),
             neural_rendering_resolution=128,
-            channel_base=32768, channel_max=512, num_fp16_res=0, conv_clamp=256.0,
+            channel_base=32768, channel_max=512, num_fp16_res=g_fp16, conv_clamp=256.0,
             map_num_layers=2,
         )
 

@@ -37,3 +37,63 @@ def test_train_gan_two_steps(tmp_path):
     import os
 
     assert os.path.exists(os.path.join(cfg.run_dir, "stats.jsonl"))
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_train_gan_metric_tick(tmp_path):
+    """In-training metric eval at snapshot ticks (reference
+    training_loop.py:494-503): metric-*.jsonl written with a finite FID."""
+    import json
+    import os
+
+    G, D = tiny_models(nrr=32)
+    cfg = GANTrainConfig(
+        run_dir=str(tmp_path / "run"),
+        batch_size=8,
+        kimg_per_tick=1,
+        snapshot_ticks=1,
+        loss=GANLossConfig(
+            r1_gamma=8.0,
+            neural_rendering_resolution_initial=32,
+            neural_rendering_resolution_final=None,
+            g_reg_interval=1,
+            d_reg_interval=1,
+        ),
+    )
+    rng = np.random.RandomState(0)
+    batch = _fake_batch(rng, batch=8, res=128, z_dim=32)
+
+    class DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {
+                "image": batch["image"][i],
+                "c": batch["c"][i],
+                "v": {"uvcoords_image": batch["v"]["uvcoords_image"][i]},
+            }
+
+    def detector(imgs_u8):  # cheap stand-in detector: channel-mean pyramid
+        x = imgs_u8.astype(np.float32) / 255.0
+        return np.stack(
+            [x.mean((1, 2, 3)), x.std((1, 2, 3)), x[:, ::2, ::2].mean((1, 2, 3)),
+             x[..., 0].mean((1, 2)), x[..., 1].mean((1, 2)), x[..., 2].mean((1, 2))],
+            axis=1,
+        )
+
+    def batches():
+        while True:
+            yield batch
+
+    train_gan(
+        G, D, batches(), cfg, max_steps=1,
+        metric_names=("fid64",), metric_dataset=DS(), metric_detector_fn=detector,
+    )
+    path = os.path.join(cfg.run_dir, "metric-fid64.jsonl")
+    assert os.path.exists(path)
+    entry = json.loads(open(path).read().strip().splitlines()[-1])
+    assert np.isfinite(entry["results"]["fid64"])
