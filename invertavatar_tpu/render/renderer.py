@@ -332,33 +332,42 @@ class ImportanceRenderer:
             )
             pooled = options.get("pooled_importance", False) and windowed_ok
             if pooled:
-                # TPU-first deviation (off by default): pool the importance
-                # weights over each ray tile so all rays in a tile share fine
-                # depths — the fine pass then has the same bounded per-block
-                # footprint as the coarse pass and rides the windowed kernel
-                # instead of the latency-bound gather.
+                # TPU-first deviation (fidelity-validated, flagship.py): pool
+                # the importance weights over each ray tile so all rays in a
+                # tile share fine depths — the fine pass then has the same
+                # bounded per-block footprint as the coarse pass and rides the
+                # windowed kernel instead of the latency-bound gather. Since
+                # depths are shared, the CDF inversion and the coarse/fine
+                # merge only need ONE row per tile (T rows, not R).
                 t_side_ = res // tile
+                T_ = t_side_ * t_side_
                 w = weights.reshape(B, t_side_, tile, t_side_, tile, *weights.shape[2:])
-                w = jnp.mean(w, axis=(2, 4), keepdims=True)
-                weights_s = jnp.broadcast_to(
-                    w, (B, t_side_, tile, t_side_, tile, *weights.shape[2:])
-                ).reshape(weights.shape)
-                d = depths_coarse.reshape(B, t_side_, tile, t_side_, tile, S, 1)
-                d = jnp.mean(d, axis=(2, 4), keepdims=True)
-                depths_c_s = jnp.broadcast_to(
-                    d, (B, t_side_, tile, t_side_, tile, S, 1)
-                ).reshape(depths_coarse.shape)
+                w_tile = jnp.mean(w, axis=(2, 4))  # [B, ts, ts, S-1, 1]
+                # coarse depths are identical across rays in a tile (scalar
+                # near/far + det/mid-stratum offsets) — take one representative
+                d_tile = depths_coarse.reshape(B, t_side_, tile, t_side_, tile, S, 1)[
+                    :, :, 0, :, 0
+                ]
                 # deterministic mid-bin u so the depths (hence footprints) are
                 # shared across the tile — pooled mode is an inference option
-                depths_fine = self._sample_importance(
-                    depths_c_s, weights_s, n_imp, det=True, rng=rng_imp
-                )
+                fine_tile = self._sample_importance(
+                    d_tile.reshape(B, T_, S, 1),
+                    w_tile.reshape(B, T_, *w_tile.shape[3:]),
+                    n_imp, det=True, rng=rng_imp,
+                )  # [B, T, n_imp, 1]
+                depths_fine = jnp.broadcast_to(
+                    fine_tile.reshape(B, t_side_, 1, t_side_, 1, n_imp, 1),
+                    (B, t_side_, tile, t_side_, tile, n_imp, 1),
+                ).reshape(B, R, n_imp, 1)
             else:
                 depths_fine = self._sample_importance(
                     depths_coarse, weights, n_imp, det=evaluation, rng=rng_imp
                 )
             colors_fine, densities_fine = run(depths_fine, structured=pooled)
 
+            # (a tile-level merge variant — one [S, Sa+Sb] permutation matmul
+            # per tile — measured slower than the per-ray rank merge under
+            # XLA: docs/PERF_NOTES.md round-2 notes)
             all_depths, all_colors, all_densities = self._unify_samples(
                 depths_coarse, colors_coarse, densities_coarse,
                 depths_fine, colors_fine, densities_fine,

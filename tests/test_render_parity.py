@@ -228,3 +228,4 @@ def test_renderer_auto_box_bounds_and_flip_z():
     for arr in (rgb_a, rgb_h, rgb_f):
         assert np.all(np.isfinite(np.asarray(arr)))
     assert np.abs(np.asarray(rgb_f) - np.asarray(rgb_h)).max() > 1e-6
+
