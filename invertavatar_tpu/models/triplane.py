@@ -160,15 +160,33 @@ class TriPlaneGenerator(nn.Module):
         upper = mouth_masks.at[:, :87].set(0.0)
         upper_alpha = jnp.clip(alpha + upper, 0.0, 1.0)
 
+        # TPU fast path (rendering_kwargs['fast_uv_warp']): for sub-256 levels,
+        # warp at the TARGET resolution through the alpha-weighted downsampled
+        # grid instead of warping 256² points of a C≤512 texture and resizing
+        # down — the reference order (triplane_v20.py:331) is exact but costs
+        # ~64× the gather traffic on the 512-ch taps. The downsampled grid is
+        # the alpha-weighted cell-mean of the valid UVs, so interior cells are
+        # near-exact; fidelity gated by scripts/fidelity_flagship.py.
+        fast_uv = bool((self.rendering_kwargs or {}).get("fast_uv_warp", False)) and (
+            jax.devices()[0].platform == "tpu"
+        )
+
         rendering_images = []
         for idx, texture in enumerate(texture_feats):
             res = texture.shape[1]
             bbox = [round(i * res / 256) for i in bbox_256]
-            # row gather wins here: the wide-C texture taps (up to 512ch) give
-            # large per-row slices already (patch variant measured slower)
-            warped = grid_sample(texture.astype(jnp.float32), grid)  # [B, 256, 256, C]
-            rendering_feat = resize_bilinear(warped, (res, res), antialias=True)
-            alpha_ = resize_bilinear(alpha, (res, res), antialias=True)
+            if fast_uv and res < grid.shape[1]:
+                alpha_ = resize_bilinear(alpha, (res, res), antialias=True)
+                g_s = resize_bilinear(grid * alpha, (res, res), antialias=True) / jnp.maximum(
+                    alpha_, 1e-4
+                )
+                rendering_feat = grid_sample(texture, g_s)  # [B, res, res, C] fp32
+            else:
+                # row gather wins here: the wide-C texture taps (up to 512ch)
+                # give large per-row slices (patch variant measured slower)
+                warped = grid_sample(texture, grid)  # [B, 256, 256, C] fp32 blend
+                rendering_feat = resize_bilinear(warped, (res, res), antialias=True)
+                alpha_ = resize_bilinear(alpha, (res, res), antialias=True)
             static_crop = static_feats[idx][:, bbox[0] : bbox[1], bbox[2] : bbox[3], :]
             static_feat = resize_bilinear(static_crop.astype(jnp.float32), (res, res), antialias=True)
             rendering_images.append(

@@ -57,12 +57,17 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     v10 = tap(iy1, ix0)
     v11 = tap(iy1, ix1)
 
-    wx = wx[..., None].astype(img.dtype)
-    wy = wy[..., None].astype(img.dtype)
+    # gathers run in the image's native dtype (half the HBM traffic for bf16
+    # payloads); the bilinear blend always runs in fp32 — for fp32 inputs this
+    # is bit-identical to the previous all-fp32 path, for bf16 inputs the
+    # weights lose nothing
+    blend_dtype = jnp.promote_types(img.dtype, jnp.float32)
+    wx = wx[..., None].astype(blend_dtype)
+    wy = wy[..., None].astype(blend_dtype)
     out = (
-        v00 * (1 - wx) * (1 - wy)
-        + v01 * wx * (1 - wy)
-        + v10 * (1 - wx) * wy
-        + v11 * wx * wy
+        v00.astype(blend_dtype) * (1 - wx) * (1 - wy)
+        + v01.astype(blend_dtype) * wx * (1 - wy)
+        + v10.astype(blend_dtype) * (1 - wx) * wy
+        + v11.astype(blend_dtype) * wx * wy
     )
     return out.reshape(out_shape)

