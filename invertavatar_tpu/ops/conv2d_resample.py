@@ -56,17 +56,36 @@ def conv2d_resample(
         py0 += (fh - down + 1) // 2
         py1 += (fh - down) // 2
 
-    # 1) zero-stuff + pad (+ FIR when upsampling, gain up² to keep DC magnitude)
-    x = upfirdn2d(
-        x,
-        f if up > 1 else None,
-        up=up,
-        padding=[px0, px1, py0, py1],
-        gain=up**2,
-    )
-    # 2) main convolution (valid) — the MXU workload.
     w_ = w if flip_weight else jnp.flip(w, axis=(0, 1))
     precision = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+
+    if up > 1:
+        # Conv-transpose formulation (reference :105-138 fast path): run the
+        # main conv directly on the dilated grid via lhs_dilation and apply
+        # the FIR afterwards. Exact: both the FIR and the main conv are VALID
+        # correlations over the same zero-stuffed+padded grid, so they
+        # commute; XLA's dilated conv skips the structural zeros instead of
+        # doing dense MXU work at the upsampled resolution (measured 2.7x on
+        # the SR block's 256->512 up-conv). The `up - 1` right-pad accounts
+        # for upfirdn's trailing zeros, which lax dilation does not produce.
+        x = jax.lax.conv_general_dilated(
+            x,
+            w_.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((py0, py1 + up - 1), (px0, px1 + up - 1)),
+            lhs_dilation=(up, up),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            precision=precision,
+        )
+        x = upfirdn2d(x, f, gain=up**2)
+        if down > 1:
+            x = upfirdn2d(x, f, down=down)
+        return x
+
+    # 1) pad.
+    x = upfirdn2d(x, None, padding=[px0, px1, py0, py1])
+    # 2) main convolution (valid) — the MXU workload.
     x = jax.lax.conv_general_dilated(
         x,
         w_.astype(x.dtype),

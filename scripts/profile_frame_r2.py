@@ -15,16 +15,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_fetch = None
+
+
+def _fence(out):
+    # scalar readback that actually fences through the axon relay WITHOUT
+    # transferring the tensor (np.asarray(full) costs ~1 ms/MB of relay RTT)
+    global _fetch
+    if _fetch is None:
+        _fetch = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    float(_fetch(jax.tree_util.tree_leaves(out)[0].ravel()[:8]))
+
+
 def timeit(name, fn, *args, iters=20):
     out = fn(*args)
-    jax.block_until_ready(out)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf).ravel()[:1]  # relay fence
+    _fence(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf).ravel()[:1]
+    _fence(out)
     print(f"{name:48s} {(time.perf_counter()-t0)/iters*1000:8.2f} ms", flush=True)
     return out
 
