@@ -365,9 +365,11 @@ class ImportanceRenderer:
                 )
             colors_fine, densities_fine = run(depths_fine, structured=pooled)
 
-            # (a tile-level merge variant — one [S, Sa+Sb] permutation matmul
-            # per tile — measured slower than the per-ray rank merge under
-            # XLA: docs/PERF_NOTES.md round-2 notes)
+            # (three tile-shared merge variants measured slower than the
+            # per-ray rank merge under XLA: per-tile permutation matmuls,
+            # broadcast take_along_axis (per-element gathers), and a
+            # tile-batched rank merge (regrouping transposes dominate) —
+            # docs/PERF_NOTES.md round 2)
             all_depths, all_colors, all_densities = self._unify_samples(
                 depths_coarse, colors_coarse, densities_coarse,
                 depths_fine, colors_fine, densities_fine,
