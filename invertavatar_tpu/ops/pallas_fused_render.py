@@ -41,10 +41,14 @@ def _tent_contract(blk, gy, gx, ys_f, xs_f, *, P, win_r, win_c, C, H, W, exact):
     ly = gy - ys_f  # [P] window-local continuous coords
     lx = gx - xs_f
 
+    # No explicit in-bounds masks: the window is clipped to lie fully inside
+    # the plane, so every window texel is valid, and any tent tap OUTSIDE the
+    # window (points near/beyond the plane border) is simply absent from the
+    # contraction — which IS the zeros-padding semantics. Exactness holds
+    # provided footprints fit the window (the standing windowed-kernel
+    # contract, coarse_window_for).
     iy = jax.lax.broadcasted_iota(jnp.int32, (P, win_r), 1).astype(jnp.float32)
     ohy = jnp.maximum(0.0, 1.0 - jnp.abs(iy - ly[:, None]))
-    ay = iy + ys_f
-    ohy = ohy * ((ay >= 0.0) & (ay < H)).astype(jnp.float32)
 
     # x tent weights computed DIRECTLY at full lane width [P, win_c*C] from an
     # iota — replaces the former compact-[P, win_c] + 0/1-expander-matmul
@@ -55,10 +59,7 @@ def _tent_contract(blk, gy, gx, ys_f, xs_f, *, P, win_r, win_c, C, H, W, exact):
         jx_full = jx_full >> int(C.bit_length() - 1)
     else:
         jx_full = jx_full // C
-    jxf = jx_full.astype(jnp.float32)
-    ohx = jnp.maximum(0.0, 1.0 - jnp.abs(jxf - lx[:, None]))
-    axp = jxf + xs_f
-    ohx = ohx * ((axp >= 0.0) & (axp < W)).astype(jnp.float32)
+    ohx = jnp.maximum(0.0, 1.0 - jnp.abs(jx_full.astype(jnp.float32) - lx[:, None]))
 
     prec = jax.lax.Precision.HIGHEST if exact else None
     tmp = jax.lax.dot_general(
