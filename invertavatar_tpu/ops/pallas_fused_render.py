@@ -224,8 +224,13 @@ def fused_render_pallas(
     window: int = 48,
     payload_dtype=jnp.bfloat16,
     s_group: int = 1,
+    return_raw: bool = False,
 ):
     """Fused windowed sampling + OSG decoder -> (rgb [R,S,out], sigma [R,S,1]).
+
+    `return_raw=True` skips the ray-major transpose and returns the kernel's
+    native [T*S, P, O] layout (O = 1+out, sigma first) — the merged-march
+    pass consumes this directly as its coarse source.
 
     Exactness of the interpolation requires each (ray-tile × stratum) plane
     footprint to fit `window` texels — guaranteed for the structured coarse
@@ -275,6 +280,264 @@ def fused_render_pallas(
         win_r=win_r, win_c=win_c, C=C, H=H, W=W, O=O,
         exact=False,
     )  # [T*S_g, P_g, O]
+    if return_raw:
+        assert s_group == 1
+        return out
     out = out.reshape(t_side, t_side, S_g, s_group, tile, tile, O)
     out = jnp.transpose(out, (0, 4, 1, 5, 2, 3, 6)).reshape(R, S, O)
     return out[..., 1:], out[..., 0:1]
+
+
+# ---------------------------------------------------------------------------
+# Merged-pass kernel: walk the tile-shared merged (coarse ∪ fine) depth order,
+# recompute only fine samples, read coarse samples from the Phase-A output,
+# and run the MipNeRF march (ray_marcher.py semantics) in VMEM — the merge,
+# the fine-color HBM round-trip, and the final XLA march all disappear.
+# Valid exactly when depths are tile-shared (pooled importance + det eval).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_march(
+    ys_ref,  # [3, G] int32 fine-window row starts (absolute; 0 on coarse slots)
+    xsc_ref,  # [3, G] int32 fine-window col starts × C
+    isf_ref,  # [G] int32: 1 = fine slot (contract+decode), 0 = coarse slot (read)
+    fslot_ref,  # [G] int32 double-buffer slot (parity of the fine ordinal)
+    csrc_ref,  # [G] int32 Phase-A block row for this slot (forward-filled on fine)
+    planes_ref,  # [3, H, W*C] HBM
+    coarse_ref,  # block [1, P, O] — Phase-A output row csrc[g]
+    gy_ref,  # [1, 3, P] absolute pixel rows per plane (garbage on coarse slots)
+    gx_ref,  # [1, 3, P]
+    dinfo_ref,  # [8, 8] f32 block (rows g//8*8..+8): (delta, d_mid, d_min, d_max, 0...)
+    w1_ref,  # [C, HID]
+    b1_ref,  # [1, HID]
+    w2_ref,  # [HID, O]
+    b2_ref,  # [1, O]
+    out_ref,  # [1, P, C+2]: (rgb[C], depth, weight_sum)
+    win,  # scratch [2, 3, WIN_R, WIN_C*C]
+    sems,  # DMA sems (2, 3)
+    cur,  # scratch [P, O] f32 current sample (sigma, rgb)
+    prev,  # scratch [P, O] f32 previous sample
+    acc,  # scratch [P, C] f32 rgb accumulator
+    sca,  # scratch [P, 8] f32: col0 transmittance, col1 depth acc, col2 wsum
+    *,
+    win_r: int,
+    win_c: int,
+    P: int,
+    C: int,
+    H: int,
+    W: int,
+    Sm: int,
+):
+    g = pl.program_id(0)
+    G = pl.num_programs(0)
+    s_idx = jax.lax.rem(g, Sm)
+
+    def dma(step, sem_slot, p):
+        ys = pl.multiple_of(ys_ref[p, step], 16 if win.dtype == jnp.bfloat16 else 8)
+        xsc = pl.multiple_of(xsc_ref[p, step], 128)
+        return pltpu.make_async_copy(
+            planes_ref.at[p, pl.ds(ys, win_r), pl.ds(xsc, win_c * C)],
+            win.at[sem_slot, p],
+            sems.at[sem_slot, p],
+        )
+
+    @pl.when((g == 0) & (isf_ref[0] == 1))
+    def _():
+        for p in range(3):
+            dma(0, fslot_ref[0], p).start()
+
+    nxt = jnp.minimum(g + 1, G - 1)
+
+    @pl.when((g + 1 < G) & (isf_ref[nxt] == 1))
+    def _():
+        for p in range(3):
+            dma(nxt, fslot_ref[nxt], p).start()
+
+    @pl.when(isf_ref[g] == 1)
+    def _():
+        slot = fslot_ref[g]
+        accf = jnp.zeros((P, C), jnp.float32)
+        for p in range(3):
+            ys_f = ys_ref[p, g].astype(jnp.float32)
+            xs_f = (xsc_ref[p, g] // C).astype(jnp.float32)
+            dma(g, slot, p).wait()
+            accf = accf + _tent_contract(
+                win[slot, p], gy_ref[0, p, :], gx_ref[0, p, :], ys_f, xs_f,
+                P=P, win_r=win_r, win_c=win_c, C=C, H=H, W=W, exact=False,
+            )
+        x = accf * (1.0 / 3.0)
+        h = jax.lax.dot_general(
+            x, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[0, :][None, :]
+        h = jax.nn.softplus(h)
+        o = jax.lax.dot_general(
+            h, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[0, :][None, :]
+        sigma = o[:, 0:1]
+        rgb = jax.nn.sigmoid(o[:, 1:]) * (1 + 2 * 0.001) - 0.001
+        cur[...] = jnp.concatenate([sigma, rgb], axis=-1)
+
+    @pl.when(isf_ref[g] == 0)
+    def _():
+        cur[...] = coarse_ref[0, :, :].astype(jnp.float32)
+
+    @pl.when(s_idx == 0)
+    def _():
+        acc[...] = jnp.zeros((P, C), jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (P, 8), 1)
+        sca[...] = jnp.where(lane == 0, 1.0, 0.0)  # transmittance starts at 1
+        prev[...] = cur[...]
+
+    @pl.when(s_idx > 0)
+    def _():
+        d = dinfo_ref[jax.lax.rem(g, 8), :]
+        delta = d[0]
+        d_mid = d[1]
+        pv = prev[...]
+        cu = cur[...]
+        dens_mid = jax.nn.softplus((pv[:, 0:1] + cu[:, 0:1]) * 0.5 - 1.0)
+        alpha = 1.0 - jnp.exp(-dens_mid * delta)
+        t_run = sca[:, 0:1]
+        w = alpha * t_run
+        sca[:, 0:1] = t_run * (1.0 - alpha + 1e-10)
+        acc[...] = acc[...] + w * (pv[:, 1:] + cu[:, 1:]) * 0.5
+        sca[:, 1:2] = sca[:, 1:2] + w * d_mid
+        sca[:, 2:3] = sca[:, 2:3] + w
+        prev[...] = cu
+
+    @pl.when(s_idx == Sm - 1)
+    def _():
+        d = dinfo_ref[jax.lax.rem(g, 8), :]
+        wsum = sca[:, 2:3]
+        depth = sca[:, 1:2] / wsum
+        depth = jnp.where(jnp.isnan(depth), jnp.inf, depth)
+        depth = jnp.clip(depth, d[2], d[3])
+        rgb = acc[...] * 2.0 - 1.0
+        out_ref[0, :, :] = jnp.concatenate([rgb, depth, wsum], axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W", "O", "Sm")
+)
+def _merged_call(planes3, ys, xsc, isf, fslot, csrc, coarse, gy, gx, dinfo,
+                 w1, b1, w2, b2,
+                 win_r: int, win_c: int, C: int, H: int, W: int, O: int, Sm: int):
+    _, G, P = gy.shape
+    gy = jnp.transpose(gy, (1, 0, 2))
+    gx = jnp.transpose(gx, (1, 0, 2))
+    HID = w1.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # planes in HBM
+            pl.BlockSpec((1, P, O), lambda g, ys, xsc, isf, fslot, csrc: (csrc[g], 0, 0)),
+            pl.BlockSpec((1, 3, P), lambda g, *s: (g, 0, 0)),
+            pl.BlockSpec((1, 3, P), lambda g, *s: (g, 0, 0)),
+            pl.BlockSpec((8, 8), lambda g, *s: (g // 8, 0)),
+            pl.BlockSpec((C, HID), lambda g, *s: (0, 0)),
+            pl.BlockSpec((1, HID), lambda g, *s: (0, 0)),
+            pl.BlockSpec((HID, O), lambda g, *s: (0, 0)),
+            pl.BlockSpec((1, O), lambda g, *s: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, P, C + 2), lambda g, *s: (g // Sm, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, win_r, win_c * C), planes3.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((P, O), jnp.float32),
+            pltpu.VMEM((P, O), jnp.float32),
+            pltpu.VMEM((P, C), jnp.float32),
+            pltpu.VMEM((P, 8), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_march, win_r=win_r, win_c=win_c, P=P, C=C, H=H, W=W, Sm=Sm
+    )
+    T = G // Sm
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, P, C + 2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ys, xsc, isf, fslot, csrc, planes3, coarse, gy, gx, dinfo,
+      w1.astype(jnp.float32), b1.reshape(1, -1).astype(jnp.float32),
+      w2.astype(jnp.float32), b2.reshape(1, -1).astype(jnp.float32))
+
+
+def fused_merged_march_pallas(
+    planes: jnp.ndarray,  # [3, H, W, C]
+    proj_m: jnp.ndarray,  # [3, T, Sm, P, 2] plane-space xy of every merged slot
+    is_fine: jnp.ndarray,  # [T, Sm] int32
+    src: jnp.ndarray,  # [T, Sm] int32 index within the slot's source list
+    d_m: jnp.ndarray,  # [T, Sm] merged depths (tile-shared)
+    coarse_out: jnp.ndarray,  # [T*S, P, O] Phase-A raw output
+    decoder_params,
+    res: int,
+    S: int,  # number of coarse strata (Phase-A rows per tile)
+    tile: int = 16,
+    window: int = 32,
+    payload_dtype=jnp.bfloat16,
+):
+    """Run the merged coarse∪fine pass with the in-kernel march.
+
+    Returns (rgb [R, C-? ...], depth [R, 1], weight_sum [R, 1]) in ray-major
+    order. Point/tile ordering matches `fused_render_pallas` so `coarse_out`
+    rows line up.
+    """
+    N, H, W, C = planes.shape
+    T, Sm = is_fine.shape
+    t_side = res // tile
+    P = tile * tile
+    G = T * Sm
+    O = 1 + C
+
+    gx = (proj_m[..., 0].astype(jnp.float32) + 1.0) * (W * 0.5) - 0.5  # [3, T, Sm, P]
+    gy = (proj_m[..., 1].astype(jnp.float32) + 1.0) * (H * 0.5) - 0.5
+
+    row_align = 8 if payload_dtype == jnp.float32 else 16
+    xalign = max(1, 128 // C)
+    win_r = -(-(window + row_align) // row_align) * row_align
+    win_c = -(-(window + xalign) // xalign) * xalign
+    xs = jnp.clip(jnp.floor(jnp.min(gx, axis=-1)).astype(jnp.int32) - 1, 0, max(W - win_c, 0))
+    ys = jnp.clip(jnp.floor(jnp.min(gy, axis=-1)).astype(jnp.int32) - 1, 0, max(H - win_r, 0))
+    ys = (ys // row_align) * row_align
+    xs = (xs // xalign) * xalign
+
+    isf = is_fine.reshape(G).astype(jnp.int32)
+    fine_ord = jnp.cumsum(isf) - 1
+    fslot = jnp.where(isf == 1, fine_ord % 2, 0).astype(jnp.int32)
+    # Phase-A row per slot; forward-fill fine slots with the previous coarse
+    # row so the pipelined block index does not thrash between fetches
+    tile_base = (
+        jax.lax.broadcasted_iota(jnp.int32, (T, Sm), 0) * S
+    )
+    csrc_raw = jnp.where(is_fine == 0, tile_base + src, -1).reshape(T, Sm)
+    csrc = jax.lax.associative_scan(jnp.maximum, csrc_raw, axis=1)
+    csrc = jnp.where(csrc < 0, tile_base, csrc).reshape(G).astype(jnp.int32)
+
+    # march scalars
+    d_flat = d_m.reshape(G)
+    d_prev = jnp.roll(d_flat, 1)
+    delta = d_flat - d_prev
+    d_mid = (d_flat + d_prev) * 0.5
+    dmin = jnp.min(d_m)
+    dmax = jnp.max(d_m)
+    dinfo = jnp.stack(
+        [delta, d_mid,
+         jnp.full((G,), dmin), jnp.full((G,), dmax)], axis=-1
+    )
+    dinfo = jnp.concatenate([dinfo, jnp.zeros((G, 4), jnp.float32)], axis=-1)
+
+    w1, b1, w2, b2 = decoder_params
+    out = _merged_call(
+        planes.astype(payload_dtype).reshape(N, H, W * C),
+        ys.reshape(N, G), (xs * C).reshape(N, G), isf, fslot, csrc,
+        coarse_out, gy.reshape(N, G, P), gx.reshape(N, G, P), dinfo,
+        w1, b1, w2, b2,
+        win_r=win_r, win_c=win_c, C=C, H=H, W=W, O=O, Sm=Sm,
+    )  # [T, P, C+2]
+    out = out.reshape(t_side, t_side, tile, tile, C + 2)
+    out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(res * res, C + 2)
+    return out[:, :C], out[:, C : C + 1], out[:, C + 1 :]

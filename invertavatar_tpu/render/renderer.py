@@ -322,9 +322,33 @@ class ImportanceRenderer:
                 )
             return colors, densities
 
+        n_imp = options["depth_resolution_importance"]
+
+        # Merged-pass fast path: Phase A (coarse kernel, raw layout) → pooled
+        # CDF → ONE merged coarse∪fine kernel pass with the MipNeRF march
+        # composited in VMEM (ops/pallas_fused_render._kernel_march). Removes
+        # the per-ray merge, the fine-color HBM round-trip, and the final XLA
+        # march. Requires tile-shared depths: pooled + det mid-stratum
+        # offsets + scalar near/far.
+        scalar_bounds = not (hasattr(ray_start, "ndim") and ray_start.ndim > 0)
+        if (
+            _fused_on
+            and windowed_ok
+            and evaluation
+            and n_imp > 0
+            and options.get("pooled_importance", False)
+            and options.get("march_in_kernel", True)
+            and options.get("det_stratified", False)
+            and scalar_bounds
+            and not options.get("flip_z", False)
+        ):
+            return self._march_fused_path(
+                planes, decoder_params, ray_origins, ray_directions,
+                depths_coarse, options, res, tile, window, n_imp, rng_imp,
+            )
+
         colors_coarse, densities_coarse = run(depths_coarse, structured=True)
 
-        n_imp = options["depth_resolution_importance"]
         if n_imp > 0:
             _, _, weights = mip_ray_march(
                 colors_coarse, densities_coarse, depths_coarse,
@@ -384,6 +408,83 @@ class ImportanceRenderer:
                 white_back=options.get("white_back", False),
             )
         return rgb, depth, jnp.sum(weights, axis=2)
+
+    def _march_fused_path(self, planes, decoder_params, ray_origins, ray_directions,
+                          depths_coarse, options, res, tile, window, n_imp, rng_imp):
+        """Two-kernel render with the march in VMEM (see __call__ gate).
+
+        Phase A = `fused_render_pallas(return_raw=True)`; the importance CDF
+        is computed from its raw densities (weights depend on σ and depths
+        only — mip_ray_march's color inputs never affect them); Phase B walks
+        the per-tile merged depth order in `fused_merged_march_pallas`."""
+        from ..ops.pallas_fused_render import (
+            fused_merged_march_pallas,
+            fused_render_pallas,
+        )
+
+        B, n_planes = planes.shape[:2]
+        R = res * res
+        S = depths_coarse.shape[2]
+        t_side = res // tile
+        T = t_side * t_side
+        box = 2.0 / options["box_warp"]
+        d_vec = depths_coarse[0, 0, :, 0]  # [S] — depths are globally shared here
+
+        def group_rays(x):  # [B, R, 3] -> [B, T, P, 3] (tile-major, matches kernel)
+            x = x.reshape(B, t_side, tile, t_side, tile, 3)
+            return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(B, T, tile * tile, 3)
+
+        ro_t = group_rays(ray_origins)
+        rd_t = group_rays(ray_directions)
+        deltas = d_vec[1:] - d_vec[:-1]
+
+        rgbs, deps, wsums = [], [], []
+        for b in range(B):
+            coords_c = (
+                ray_origins[b : b + 1, :, None, :]
+                + depths_coarse[b : b + 1] * ray_directions[b : b + 1, :, None, :]
+            )
+            proj_c = project_onto_planes(box * coords_c.reshape(1, -1, 3), self.axes_inv)
+            proj_c = proj_c.reshape(n_planes, R, S, 2)
+            raw = fused_render_pallas(
+                planes[b], proj_c, decoder_params, res=res, tile=tile,
+                window=window, return_raw=True,
+            )  # [T*S, P, O]
+            sigma = jnp.transpose(raw[:, :, 0].reshape(T, S, -1), (0, 2, 1))  # [T, P, S]
+            # per-ray march weights from densities alone (ray_marcher.py:30-43)
+            dm = jax.nn.softplus((sigma[..., :-1] + sigma[..., 1:]) * 0.5 - 1.0)
+            alpha = 1.0 - jnp.exp(-dm * deltas)
+            trans = jnp.cumprod(
+                jnp.concatenate([jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], -1),
+                axis=-1,
+            )[..., :-1]
+            w_tile = jnp.mean(alpha * trans, axis=1)  # [T, S-1]
+            fine_tile = self._sample_importance(
+                jnp.broadcast_to(d_vec.reshape(1, 1, S, 1), (1, T, S, 1)),
+                w_tile.reshape(1, T, S - 1, 1), n_imp, det=True, rng=rng_imp,
+            ).reshape(T, n_imp)
+            # stable merge — coarse first on ties, matching _unify_samples
+            d_cat = jnp.concatenate(
+                [jnp.broadcast_to(d_vec[None], (T, S)), fine_tile], axis=1
+            )
+            order = jnp.argsort(d_cat, axis=1, stable=True)
+            d_m = jnp.take_along_axis(d_cat, order, axis=1)  # [T, Sm]
+            is_fine = (order >= S).astype(jnp.int32)
+            src = jnp.where(order >= S, order - S, order).astype(jnp.int32)
+            coords_m = (
+                ro_t[b][:, None, :, :]
+                + d_m[:, :, None, None] * rd_t[b][:, None, :, :]
+            )  # [T, Sm, P, 3]
+            proj_m = project_onto_planes(box * coords_m.reshape(1, -1, 3), self.axes_inv)
+            proj_m = proj_m.reshape(n_planes, T, S + n_imp, -1, 2)
+            rgb, dep, ws = fused_merged_march_pallas(
+                planes[b], proj_m, is_fine, src, d_m, raw, decoder_params,
+                res=res, S=S, tile=tile, window=window,
+            )
+            rgbs.append(rgb)
+            deps.append(dep)
+            wsums.append(ws)
+        return jnp.stack(rgbs), jnp.stack(deps), jnp.stack(wsums)
 
     def run_model(self, planes, decoder, coordinates, options):
         """Density/color at arbitrary coords (reference renderer.py:354-363)."""
