@@ -38,6 +38,11 @@ FLAGSHIP_RENDERING_KWARGS = {
     # pooling (exact path: 55.5 dB). Ignored off-TPU (exact patch gather).
     "pallas_coarse": True,
     "pooled_importance": True,
+    # round-2 additions, fidelity-validated in the same harness run:
+    # fast_uv_warp (downsampled-grid UV warp, PSNR 47.73 vs 47.76 without)
+    # and the merged-march kernel (march_in_kernel, default-on) were active
+    # for the pooled/bf16_backbones/fast_uv variants above.
+    "fast_uv_warp": True,
 }
 
 

@@ -144,12 +144,29 @@ class TriPlaneGenerator(nn.Module):
         )
 
     # ---------------------------------------------------------------- rasterize
+    def precompute_raster_static(self, static_feats: List[jnp.ndarray], bbox_256=BBOX_256):
+        """Frame-independent half of `rasterize`: the per-level bbox crop +
+        antialias resize of the static features. A compiled avatar's
+        (ws, texture_feats, static_feats) are fixed across the animation loop
+        (SURVEY §3.3), so callers on the hot path compute this once and pass
+        it to `synthesis_withTexture(raster_static_cache=...)`. `static_feats`
+        here is the raw backbone list (plane-0 selection happens inside)."""
+        feats = self._static_feats_for_raster(static_feats)
+        out = []
+        for static in feats:
+            res = static.shape[1]  # level taps share the texture pyramid's res
+            bbox = [round(i * res / 256) for i in bbox_256]
+            crop = static[:, bbox[0] : bbox[1], bbox[2] : bbox[3], :]
+            out.append(resize_bilinear(crop.astype(jnp.float32), (res, res), antialias=True))
+        return out
+
     def rasterize(
         self,
         texture_feats: List[jnp.ndarray],
         uvcoords_image: jnp.ndarray,  # [B, 256, 256, 3]
         static_feats: List[jnp.ndarray],
         bbox_256=BBOX_256,
+        static_small: Optional[List[jnp.ndarray]] = None,
     ):
         """UV-warp texture pyramid + blend with cropped static feats (:317-339)."""
         uvcoords_image = uvcoords_image.astype(jnp.float32)
@@ -187,8 +204,13 @@ class TriPlaneGenerator(nn.Module):
                 warped = grid_sample(texture, grid)  # [B, 256, 256, C] fp32 blend
                 rendering_feat = resize_bilinear(warped, (res, res), antialias=True)
                 alpha_ = resize_bilinear(alpha, (res, res), antialias=True)
-            static_crop = static_feats[idx][:, bbox[0] : bbox[1], bbox[2] : bbox[3], :]
-            static_feat = resize_bilinear(static_crop.astype(jnp.float32), (res, res), antialias=True)
+            if static_small is not None:
+                static_feat = static_small[idx]
+            else:
+                static_crop = static_feats[idx][:, bbox[0] : bbox[1], bbox[2] : bbox[3], :]
+                static_feat = resize_bilinear(
+                    static_crop.astype(jnp.float32), (res, res), antialias=True
+                )
             rendering_images.append(
                 jnp.concatenate(
                     [
@@ -314,9 +336,14 @@ class TriPlaneGenerator(nn.Module):
         static_feats: Optional[List[jnp.ndarray]] = None,
         evaluation: bool = False,
         noise_mode: str = "random",
+        raster_static_cache: Optional[List[jnp.ndarray]] = None,
     ):
         """Same pipeline with precomputed texture/static features — the
-        inversion/animation entry point (triplane_v20.py:152-244)."""
+        inversion/animation entry point (triplane_v20.py:152-244).
+
+        `raster_static_cache` (from `precompute_raster_static`) skips the
+        frame-independent static crop+resize inside `rasterize` — the
+        animation loop's avatar features are fixed, so callers hoist it."""
         if static_feats is None:
             static_feats = self.backbone.synthesis(ws, return_list=True, noise_mode=noise_mode)
         static_plane = _to_planes(static_feats[-1])
@@ -324,6 +351,7 @@ class TriPlaneGenerator(nn.Module):
             texture_feats,
             mesh_condition["uvcoords_image"],
             self._static_feats_for_raster(static_feats),
+            static_small=raster_static_cache,
         )
         rendering_stitch = self.face_backbone.synthesis(
             ws, cond_list=rendering_images, noise_mode=noise_mode

@@ -94,8 +94,12 @@ def coarse_window_for(resolution: int, tile: int = 16) -> int:
     128² (scaled for other render resolutions).
     """
     frac = tile / max(resolution, 1)
-    texels = int(math.ceil(frac * 0.25 * 3.4 * 2 * 128)) + 10
-    return max(32, min(128, 16 * -(-texels // 16)))
+    texels = int(math.ceil(frac * 0.25 * 3.4 * 2 * 128))
+    # +4: bilinear taps (+1 each side), start-floor (-1), one texel of slack.
+    # Measured worst-case span at the flagship geometry is 24.1 texels
+    # (frontal AND a 30°-yaw orbit camera; scripts r2) vs the 27.2 bound —
+    # no 16-rounding here, the kernel wrapper aligns win_r/win_c itself.
+    return max(16, min(128, texels + 4))
 
 
 def sample_planes_coarse_windowed(
