@@ -84,13 +84,22 @@ def main(argv=None):
         return G.apply(variables, images, uvs, cs, uvcs, ws, tex, static, r_tex, r_tri, method=run)
 
     @jax.jit
-    def render_frame(variables, ws, tex, static, c, uvc):
-        def run(m, ws, tex, static, c, v):
+    def render_frame(variables, ws, tex, static, cache, c, uvc):
+        def run(m, ws, tex, static, cache, c, v):
             return m.generator.synthesis_withTexture(
-                ws, tex, c, v, static_feats=static, noise_mode="const", evaluation=True
+                ws, tex, c, v, static_feats=static, noise_mode="const", evaluation=True,
+                raster_static_cache=cache,
             )["image"]
 
-        return G.apply(variables, ws, tex, static, c, {"uvcoords_image": uvc}, method=run)
+        return G.apply(
+            variables, ws, tex, static, cache, c, {"uvcoords_image": uvc}, method=run
+        )
+
+    @jax.jit
+    def make_raster_cache(variables, static):
+        return G.apply(
+            variables, static, method=lambda m, s: m.generator.precompute_raster_static(s)
+        )
 
     first_img = load_src_frame(src[0])
     ws = encode_first(variables, jnp.asarray(first_img))
@@ -131,12 +140,15 @@ def main(argv=None):
     os.makedirs(args.outdir, exist_ok=True)
     out_path = os.path.join(args.outdir, "fewshot_reenact.mp4")
     writer = VideoWriter(out_path, fps=args.fps)
+    # the absorbed avatar's features are now frozen: hoist the static half of
+    # rasterize out of the drive loop (models/triplane.py raster_static_cache)
+    cache = make_raster_cache(variables, static)
     for k, frame in enumerate(drive):
         if mgr is not None and frame.get("coeff") is not None:
             uvc = mgr.make_driven_rendering(frame["coeff"])
         else:
             uvc = jnp.asarray(frame["uvcoords_image"])
-        img = render_frame(variables, ws, tex, static, jnp.asarray(frame["c"]), uvc)
+        img = render_frame(variables, ws, tex, static, cache, jnp.asarray(frame["c"]), uvc)
         writer.append(to_uint8(img))
         if (k + 1) % 20 == 0:
             print(f"drive frame {k + 1}/{len(drive)}", flush=True)

@@ -59,18 +59,23 @@ def main(argv=None):
             ws = m.mapping(z, c, truncation_psi=args.trunc, truncation_cutoff=args.trunc_cutoff)
             tex = m.texture_backbone.synthesis(ws, return_list=True, noise_mode="const")
             static = m.backbone.synthesis(ws, return_list=True, noise_mode="const")
-            return ws, tex, static
+            # frame-independent half of rasterize, hoisted out of the loop
+            cache = m.precompute_raster_static(static)
+            return ws, tex, static, cache
 
         return G.apply(variables, z, c, method=run)
 
     @jax.jit
-    def render_frame(variables, ws, tex, static, c, uvc):
-        def run(m, ws, tex, static, c, v):
+    def render_frame(variables, ws, tex, static, cache, c, uvc):
+        def run(m, ws, tex, static, cache, c, v):
             return m.synthesis_withTexture(
-                ws, tex, c, v, static_feats=static, noise_mode="const", evaluation=True
+                ws, tex, c, v, static_feats=static, noise_mode="const", evaluation=True,
+                raster_static_cache=cache,
             )["image"]
 
-        return G.apply(variables, ws, tex, static, c, {"uvcoords_image": uvc}, method=run)
+        return G.apply(
+            variables, ws, tex, static, cache, c, {"uvcoords_image": uvc}, method=run
+        )
 
     avatars = []
     for seed in args.seeds:
@@ -89,8 +94,8 @@ def main(argv=None):
         c = jnp.asarray(frame["c"])
         uvc = jnp.asarray(frame["uvcoords_image"])
         imgs = [
-            to_uint8(render_frame(variables, ws, tex, static, c, uvc))
-            for (ws, tex, static) in avatars
+            to_uint8(render_frame(variables, ws, tex, static, cache, c, uvc))
+            for (ws, tex, static, cache) in avatars
         ]
         writer.append(layout_grid(imgs, (gw, gh)))
         if (k + 1) % 10 == 0:
