@@ -301,25 +301,13 @@ def _kernel_march(
     ys_ref,  # [3, G] int32 fine-window row starts (absolute; 0 on coarse slots)
     xsc_ref,  # [3, G] int32 fine-window col starts × C
     isf_ref,  # [G] int32: 1 = fine slot (contract+decode), 0 = coarse slot (read)
-    fslot_ref,  # [G] int32 double-buffer slot (parity of the fine ordinal)
+    fslot_ref,  # [G] int32 DMA buffer slot (fine ordinal mod 2U)
     csrc_ref,  # [G] int32 Phase-A block row for this slot (forward-filled on fine)
     planes_ref,  # [3, H, W*C] HBM
-    coarse_ref,  # block [1, P, O] — Phase-A output row csrc[g]
-    gy_ref,  # [1, 3, P] absolute pixel rows per plane (garbage on coarse slots)
-    gx_ref,  # [1, 3, P]
-    dinfo_ref,  # [8, 8] f32 block (rows g//8*8..+8): (delta, d_mid, d_min, d_max, 0...)
-    w1_ref,  # [C, HID]
-    b1_ref,  # [1, HID]
-    w2_ref,  # [HID, O]
-    b2_ref,  # [1, O]
-    out_ref,  # [1, P, C+2]: (rgb[C], depth, weight_sum)
-    win,  # scratch [2, 3, WIN_R, WIN_C*C]
-    sems,  # DMA sems (2, 3)
-    cur,  # scratch [P, O] f32 current sample (sigma, rgb)
-    prev,  # scratch [P, O] f32 previous sample
-    acc,  # scratch [P, C] f32 rgb accumulator
-    sca,  # scratch [P, 8] f32: col0 transmittance, col1 depth acc, col2 wsum
-    *,
+    *rest,  # U coarse blocks [1,P,O], gy [U,3,P], gx [U,3,P], dinfo [8,U*8],
+    # w1 [C,HID], b1 [1,HID], w2 [HID,O], b2 [1,O], out [1,P,C+2],
+    # then scratch: win [2U,3,WIN_R,WIN_C*C], sems (2U,3), cur/prev [P,O],
+    # acc [P,C], sca [P,8]
     win_r: int,
     win_c: int,
     P: int,
@@ -327,10 +315,13 @@ def _kernel_march(
     H: int,
     W: int,
     Sm: int,
+    U: int,
 ):
-    g = pl.program_id(0)
-    G = pl.num_programs(0)
-    s_idx = jax.lax.rem(g, Sm)
+    coarse_refs = rest[:U]
+    (gy_ref, gx_ref, dinfo_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+     win, sems, cur, prev, acc, sca) = rest[U:]
+    k = pl.program_id(0)
+    K = pl.num_programs(0)
 
     def dma(step, sem_slot, p):
         ys = pl.multiple_of(ys_ref[p, step], 16 if win.dtype == jnp.bfloat16 else 8)
@@ -341,111 +332,131 @@ def _kernel_march(
             sems.at[sem_slot, p],
         )
 
-    @pl.when((g == 0) & (isf_ref[0] == 1))
+    @pl.when(k == 0)
     def _():
-        for p in range(3):
-            dma(0, fslot_ref[0], p).start()
+        for u in range(U):
+            @pl.when(isf_ref[u] == 1)
+            def _(u=u):
+                for p in range(3):
+                    dma(u, fslot_ref[u], p).start()
 
-    nxt = jnp.minimum(g + 1, G - 1)
+    nk = jnp.minimum(k + 1, K - 1)
+    for u in range(U):
+        n = nk * U + u
 
-    @pl.when((g + 1 < G) & (isf_ref[nxt] == 1))
-    def _():
-        for p in range(3):
-            dma(nxt, fslot_ref[nxt], p).start()
+        @pl.when((k + 1 < K) & (isf_ref[n] == 1))
+        def _(n=n):
+            for p in range(3):
+                dma(n, fslot_ref[n], p).start()
 
-    @pl.when(isf_ref[g] == 1)
-    def _():
-        slot = fslot_ref[g]
-        accf = jnp.zeros((P, C), jnp.float32)
-        for p in range(3):
-            ys_f = ys_ref[p, g].astype(jnp.float32)
-            xs_f = (xsc_ref[p, g] // C).astype(jnp.float32)
-            dma(g, slot, p).wait()
-            accf = accf + _tent_contract(
-                win[slot, p], gy_ref[0, p, :], gx_ref[0, p, :], ys_f, xs_f,
-                P=P, win_r=win_r, win_c=win_c, C=C, H=H, W=W, exact=False,
-            )
-        x = accf * (1.0 / 3.0)
-        h = jax.lax.dot_general(
-            x, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b1_ref[0, :][None, :]
-        h = jax.nn.softplus(h)
-        o = jax.lax.dot_general(
-            h, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b2_ref[0, :][None, :]
-        sigma = o[:, 0:1]
-        rgb = jax.nn.sigmoid(o[:, 1:]) * (1 + 2 * 0.001) - 0.001
-        cur[...] = jnp.concatenate([sigma, rgb], axis=-1)
+    for u in range(U):
+        gg = k * U + u
+        s_idx = jax.lax.rem(gg, Sm)
 
-    @pl.when(isf_ref[g] == 0)
-    def _():
-        cur[...] = coarse_ref[0, :, :].astype(jnp.float32)
+        @pl.when(isf_ref[gg] == 1)
+        def _(gg=gg, u=u):
+            slot = fslot_ref[gg]
+            accf = jnp.zeros((P, C), jnp.float32)
+            for p in range(3):
+                ys_f = ys_ref[p, gg].astype(jnp.float32)
+                xs_f = (xsc_ref[p, gg] // C).astype(jnp.float32)
+                dma(gg, slot, p).wait()
+                accf = accf + _tent_contract(
+                    win[slot, p], gy_ref[u, p, :], gx_ref[u, p, :], ys_f, xs_f,
+                    P=P, win_r=win_r, win_c=win_c, C=C, H=H, W=W, exact=False,
+                )
+            x = accf * (1.0 / 3.0)
+            h = jax.lax.dot_general(
+                x, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b1_ref[0, :][None, :]
+            h = jax.nn.softplus(h)
+            o = jax.lax.dot_general(
+                h, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b2_ref[0, :][None, :]
+            sigma = o[:, 0:1]
+            rgb = jax.nn.sigmoid(o[:, 1:]) * (1 + 2 * 0.001) - 0.001
+            cur[...] = jnp.concatenate([sigma, rgb], axis=-1)
 
-    @pl.when(s_idx == 0)
-    def _():
-        acc[...] = jnp.zeros((P, C), jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (P, 8), 1)
-        sca[...] = jnp.where(lane == 0, 1.0, 0.0)  # transmittance starts at 1
-        prev[...] = cur[...]
+        @pl.when(isf_ref[gg] == 0)
+        def _(u=u):
+            cur[...] = coarse_refs[u][0, :, :].astype(jnp.float32)
 
-    @pl.when(s_idx > 0)
-    def _():
-        d = dinfo_ref[jax.lax.rem(g, 8), :]
-        delta = d[0]
-        d_mid = d[1]
-        pv = prev[...]
-        cu = cur[...]
-        dens_mid = jax.nn.softplus((pv[:, 0:1] + cu[:, 0:1]) * 0.5 - 1.0)
-        alpha = 1.0 - jnp.exp(-dens_mid * delta)
-        t_run = sca[:, 0:1]
-        w = alpha * t_run
-        sca[:, 0:1] = t_run * (1.0 - alpha + 1e-10)
-        acc[...] = acc[...] + w * (pv[:, 1:] + cu[:, 1:]) * 0.5
-        sca[:, 1:2] = sca[:, 1:2] + w * d_mid
-        sca[:, 2:3] = sca[:, 2:3] + w
-        prev[...] = cu
+        @pl.when(s_idx == 0)
+        def _():
+            acc[...] = jnp.zeros((P, C), jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (P, 8), 1)
+            sca[...] = jnp.where(lane == 0, 1.0, 0.0)  # transmittance = 1
+            prev[...] = cur[...]
 
-    @pl.when(s_idx == Sm - 1)
-    def _():
-        d = dinfo_ref[jax.lax.rem(g, 8), :]
-        wsum = sca[:, 2:3]
-        depth = sca[:, 1:2] / wsum
-        depth = jnp.where(jnp.isnan(depth), jnp.inf, depth)
-        depth = jnp.clip(depth, d[2], d[3])
-        rgb = acc[...] * 2.0 - 1.0
-        out_ref[0, :, :] = jnp.concatenate([rgb, depth, wsum], axis=-1)
+        @pl.when(s_idx > 0)
+        def _(u=u):
+            d = dinfo_ref[jax.lax.rem(k, 8), u * 8 : (u + 1) * 8]
+            delta = d[0]
+            d_mid = d[1]
+            pv = prev[...]
+            cu = cur[...]
+            dens_mid = jax.nn.softplus((pv[:, 0:1] + cu[:, 0:1]) * 0.5 - 1.0)
+            alpha = 1.0 - jnp.exp(-dens_mid * delta)
+            t_run = sca[:, 0:1]
+            w = alpha * t_run
+            sca[:, 0:1] = t_run * (1.0 - alpha + 1e-10)
+            acc[...] = acc[...] + w * (pv[:, 1:] + cu[:, 1:]) * 0.5
+            sca[:, 1:2] = sca[:, 1:2] + w * d_mid
+            sca[:, 2:3] = sca[:, 2:3] + w
+            prev[...] = cu
+
+        @pl.when(s_idx == Sm - 1)
+        def _(u=u):
+            d = dinfo_ref[jax.lax.rem(k, 8), u * 8 : (u + 1) * 8]
+            wsum = sca[:, 2:3]
+            depth = sca[:, 1:2] / wsum
+            depth = jnp.where(jnp.isnan(depth), jnp.inf, depth)
+            depth = jnp.clip(depth, d[2], d[3])
+            rgb = acc[...] * 2.0 - 1.0
+            out_ref[0, :, :] = jnp.concatenate([rgb, depth, wsum], axis=-1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W", "O", "Sm")
+    jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W", "O", "Sm", "U")
 )
 def _merged_call(planes3, ys, xsc, isf, fslot, csrc, coarse, gy, gx, dinfo,
                  w1, b1, w2, b2,
-                 win_r: int, win_c: int, C: int, H: int, W: int, O: int, Sm: int):
+                 win_r: int, win_c: int, C: int, H: int, W: int, O: int, Sm: int,
+                 U: int = 2):
     _, G, P = gy.shape
-    gy = jnp.transpose(gy, (1, 0, 2))
+    gy = jnp.transpose(gy, (1, 0, 2))  # [G, 3, P]
     gx = jnp.transpose(gx, (1, 0, 2))
     HID = w1.shape[1]
+    K = G // U
+    dinfo2 = dinfo.reshape(K, U * 8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(G,),
+        grid=(K,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # planes in HBM
-            pl.BlockSpec((1, P, O), lambda g, ys, xsc, isf, fslot, csrc: (csrc[g], 0, 0)),
-            pl.BlockSpec((1, 3, P), lambda g, *s: (g, 0, 0)),
-            pl.BlockSpec((1, 3, P), lambda g, *s: (g, 0, 0)),
-            pl.BlockSpec((8, 8), lambda g, *s: (g // 8, 0)),
-            pl.BlockSpec((C, HID), lambda g, *s: (0, 0)),
-            pl.BlockSpec((1, HID), lambda g, *s: (0, 0)),
-            pl.BlockSpec((HID, O), lambda g, *s: (0, 0)),
-            pl.BlockSpec((1, O), lambda g, *s: (0, 0)),
+        ]
+        + [
+            pl.BlockSpec(
+                (1, P, O),
+                (lambda u: (lambda k, ys, xsc, isf, fslot, csrc: (csrc[k * U + u], 0, 0)))(u),
+            )
+            for u in range(U)
+        ]
+        + [
+            pl.BlockSpec((U, 3, P), lambda k, *s: (k, 0, 0)),
+            pl.BlockSpec((U, 3, P), lambda k, *s: (k, 0, 0)),
+            pl.BlockSpec((8, U * 8), lambda k, *s: (k // 8, 0)),
+            pl.BlockSpec((C, HID), lambda k, *s: (0, 0)),
+            pl.BlockSpec((1, HID), lambda k, *s: (0, 0)),
+            pl.BlockSpec((HID, O), lambda k, *s: (0, 0)),
+            pl.BlockSpec((1, O), lambda k, *s: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, P, C + 2), lambda g, *s: (g // Sm, 0, 0)),
+        out_specs=pl.BlockSpec((1, P, C + 2), lambda k, *s: (k * U // Sm, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, win_r, win_c * C), planes3.dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2 * U, 3, win_r, win_c * C), planes3.dtype),
+            pltpu.SemaphoreType.DMA((2 * U, 3)),
             pltpu.VMEM((P, O), jnp.float32),
             pltpu.VMEM((P, O), jnp.float32),
             pltpu.VMEM((P, C), jnp.float32),
@@ -453,7 +464,7 @@ def _merged_call(planes3, ys, xsc, isf, fslot, csrc, coarse, gy, gx, dinfo,
         ],
     )
     kernel = functools.partial(
-        _kernel_march, win_r=win_r, win_c=win_c, P=P, C=C, H=H, W=W, Sm=Sm
+        _kernel_march, win_r=win_r, win_c=win_c, P=P, C=C, H=H, W=W, Sm=Sm, U=U
     )
     T = G // Sm
     return pl.pallas_call(
@@ -461,7 +472,7 @@ def _merged_call(planes3, ys, xsc, isf, fslot, csrc, coarse, gy, gx, dinfo,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, P, C + 2), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ys, xsc, isf, fslot, csrc, planes3, coarse, gy, gx, dinfo,
+    )(ys, xsc, isf, fslot, csrc, planes3, *([coarse] * U), gy, gx, dinfo2,
       w1.astype(jnp.float32), b1.reshape(1, -1).astype(jnp.float32),
       w2.astype(jnp.float32), b2.reshape(1, -1).astype(jnp.float32))
 
@@ -505,9 +516,10 @@ def fused_merged_march_pallas(
     ys = (ys // row_align) * row_align
     xs = (xs // xalign) * xalign
 
+    U = 2  # merged slots per grid step (static; halves per-step overhead)
     isf = is_fine.reshape(G).astype(jnp.int32)
     fine_ord = jnp.cumsum(isf) - 1
-    fslot = jnp.where(isf == 1, fine_ord % 2, 0).astype(jnp.int32)
+    fslot = jnp.where(isf == 1, fine_ord % (2 * U), 0).astype(jnp.int32)
     # Phase-A row per slot; forward-fill fine slots with the previous coarse
     # row so the pipelined block index does not thrash between fetches
     tile_base = (
@@ -536,7 +548,7 @@ def fused_merged_march_pallas(
         ys.reshape(N, G), (xs * C).reshape(N, G), isf, fslot, csrc,
         coarse_out, gy.reshape(N, G, P), gx.reshape(N, G, P), dinfo,
         w1, b1, w2, b2,
-        win_r=win_r, win_c=win_c, C=C, H=H, W=W, O=O, Sm=Sm,
+        win_r=win_r, win_c=win_c, C=C, H=H, W=W, O=O, Sm=Sm, U=U,
     )  # [T, P, C+2]
     out = out.reshape(t_side, t_side, tile, tile, C + 2)
     out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(res * res, C + 2)
