@@ -226,6 +226,95 @@ class InversionNet(nn.Module):
         out["e4e_image"] = e4e_img
         return out
 
+    def run_seq_multiT(self, vid_frames, vid_c, vid_v, vid_uv, frm_per_chunk: int = 6,
+                       ws=None, return_idx=None, train: bool = False):
+        """Chunked multi-T rollout (video_loss.py:289-357 run_G_seq_multiT).
+
+        T = n_chunks * frm_per_chunk. Chunks 0..n-2 roll the GRU states forward
+        under stop_gradient (the no-grad prefix, training_loop_video.py:424-429);
+        only the last chunk's U-Net calls and the final renders carry gradients.
+        `return_idx` ([B-shared index list/array of frm_per_chunk frames], the
+        reference's random Ireal subset) renders only those frames; None renders
+        all T with the final updated features.
+        Returns {'image': [B, T_out, H, W, 3], 'e4e_image': last chunk's e4e}.
+        """
+        sg = jax.lax.stop_gradient
+        B, T = vid_c.shape[:2]
+        assert T % frm_per_chunk == 0, (T, frm_per_chunk)
+        n_chunks = T // frm_per_chunk
+        Tc = frm_per_chunk
+        uvi = vid_v["uvcoords_image"]
+        if ws is None:
+            ws = self.encode(vid_frames[:, 0], train=train)
+        ws = sg(ws)
+        tex = [sg(f) for f in self.generator.texture_backbone.synthesis(ws, return_list=True, noise_mode="const")]
+        static = [sg(f) for f in self.generator.backbone.synthesis(ws, return_list=True, noise_mode="const")]
+        vid_ws = jnp.repeat(ws, Tc, axis=0)
+
+        def rep(feats):
+            return [jnp.repeat(f, Tc, axis=0) for f in feats]
+
+        def chunk_inputs(i):
+            c = vid_c[:, i * Tc:(i + 1) * Tc].reshape(B * Tc, -1)
+            v = {"uvcoords_image": uvi[:, i * Tc:(i + 1) * Tc].reshape(B * Tc, *uvi.shape[2:])}
+            frames = vid_frames[:, i * Tc:(i + 1) * Tc].reshape(B * Tc, *vid_frames.shape[2:])
+            uv = vid_uv[:, i * Tc:(i + 1) * Tc].reshape(B * Tc, *vid_uv.shape[2:])
+            e4e_img = sg(
+                self.generator.synthesis_withTexture(
+                    vid_ws, rep(tex), c, v, static_feats=rep(static), noise_mode="const"
+                )["image"]
+            )
+            if e4e_img.shape[1] != frames.shape[1]:
+                e4e_img = resize_bilinear(e4e_img, frames.shape[1:3], antialias=True)
+            delta = e4e_img - frames[..., :3]
+            uv_input = self.get_unet_uvinput(uv, delta).reshape(B, Tc, 256, 256, 7)
+            tri_input = jnp.concatenate([frames[..., :3], delta], axis=-1).reshape(
+                B, Tc, *frames.shape[1:3], 6
+            )
+            return uv_input, tri_input, e4e_img
+
+        r_tex = r_tri = None
+        for i in range(n_chunks - 1):
+            uv_input, tri_input, _ = chunk_inputs(i)
+            _, r_tex = self.unet_encoder.texture_unet(sg(uv_input), r_list=r_tex, train=train)
+            _, r_tri = self.unet_encoder.triplane_unet(sg(tri_input), r_list=r_tri, train=train)
+            r_tex = jax.tree_util.tree_map(sg, r_tex)
+            r_tri = jax.tree_util.tree_map(sg, r_tri)
+
+        uv_input, tri_input, e4e_last = chunk_inputs(n_chunks - 1)
+        tex_offsets, _ = self.unet_encoder.texture_unet(uv_input, r_list=r_tex, train=train)
+        sft, _ = self.unet_encoder.triplane_unet(tri_input, r_list=r_tri, train=train)
+        texture_feats = [f + o for f, o in zip(tex, tex_offsets)] + list(tex[len(tex_offsets):])
+        static_feats = self.generator.backbone.synthesis(
+            ws, return_list=True, feat_conditions=sft, noise_mode="const"
+        )
+
+        if return_idx is None:
+            T_out = T
+            c_sel = vid_c.reshape(B * T, -1)
+            v_sel = {"uvcoords_image": uvi.reshape(B * T, *uvi.shape[2:])}
+        else:
+            return_idx = jnp.asarray(return_idx)
+            T_out = return_idx.shape[0]
+            c_sel = jnp.take(vid_c, return_idx, axis=1).reshape(B * T_out, -1)
+            v_sel = {
+                "uvcoords_image": jnp.take(uvi, return_idx, axis=1).reshape(B * T_out, *uvi.shape[2:])
+            }
+        ws_out = jnp.repeat(ws, T_out, axis=0)
+        out = self.generator.synthesis_withTexture(
+            ws_out,
+            [jnp.repeat(f, T_out, axis=0) for f in texture_feats],
+            c_sel, v_sel,
+            static_feats=[jnp.repeat(f, T_out, axis=0) for f in static_feats],
+            noise_mode="const",
+        )
+        return {
+            "image": out["image"].reshape(B, T_out, *out["image"].shape[1:]),
+            "e4e_image": e4e_last,
+            "feature_image": out["feature_image"],
+            "triplane": out["triplane"],
+        }
+
     # ------------------------------------------------------------- streaming
     def ar_forward(self, x: Dict, vid_c, vid_v, ws, r_list, e4e_results: Optional[Dict] = None,
                    return_fake: bool = False):

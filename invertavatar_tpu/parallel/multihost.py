@@ -53,6 +53,28 @@ def local_batch_slice(global_batch: int) -> slice:
     return slice(start, start + per)
 
 
+def check_replica_consistency_local(params, atol: float = 0.0) -> None:
+    """Single-process variant: assert every device's shard of each replicated
+    array is identical (the devices of one host stand in for ranks). Arrays
+    that are not fully replicated are skipped — only parameters/EMA state are
+    expected to be replicated (reference check_ddp_consistency scope)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    for i, leaf in enumerate(leaves):
+        if not hasattr(leaf, "sharding") or not leaf.is_fully_replicated:
+            continue
+        shards = leaf.addressable_shards
+        if len(shards) <= 1:
+            continue
+        ref = np.asarray(shards[0].data)
+        for s in shards[1:]:
+            diff = np.abs(np.asarray(s.data) - ref)
+            if diff.size and diff.max() > atol:
+                raise AssertionError(
+                    f"device {s.device} differs from {shards[0].device} at leaf {i} "
+                    f"(max abs diff {diff.max()})"
+                )
+
+
 def check_replica_consistency(params, atol: float = 0.0) -> None:
     """Reference torch_utils/misc.py:202 `check_ddp_consistency`: assert the
     replicated param pytree is bit-identical across processes. No-op single

@@ -341,6 +341,44 @@ def fewshot_igen_loss(
     return total, losses
 
 
+def fewshot_ireal_multiT_loss(
+    inv_run_multiT: Callable,  # (frames, c, v, uv, fake_idx, ws|None) -> {'image': [B, Tc, ...]}
+    lpips: Callable,
+    weights: InversionLossWeights,
+    vid_frames,  # [B, T, H, W, 3(+mask)]
+    vid_c, vid_v, vid_uv,
+    fake_idx,  # [Tc] frame indices rendered for the loss (video_loss.py:429)
+    ws=None,
+):
+    """Ireal under the multi-T curriculum (video_loss.py:427-445 multiT branch):
+    the rollout sees all T frames (no-grad prefix chunks), the loss is computed
+    on the `fake_idx` subset — index 0 first (full-image loss), the rest
+    head-masked when a mask channel is present."""
+    B = vid_c.shape[0]
+    out = inv_run_multiT(vid_frames[..., :3], vid_c, vid_v, vid_uv, fake_idx, ws)
+    fake = out["image"]  # [B, Tc, H, W, 3]
+    Tc = fake.shape[1]
+    real = jnp.take(vid_frames, jnp.asarray(fake_idx), axis=1)  # [B, Tc, H, W, 3+m]
+    if fake.shape[2] != real.shape[2]:
+        fake = resize_bilinear(
+            fake.reshape(B * Tc, *fake.shape[2:]), (real.shape[2], real.shape[3])
+        ).reshape(B, Tc, real.shape[2], real.shape[3], -1)
+    if real.shape[-1] > 3 and Tc > 1:
+        mask = real[:, 1:, ..., -1:]
+        later = fake[:, 1:] * mask + real[:, 1:, ..., :3] * (1.0 - mask)
+        fake = jnp.concatenate([fake[:, :1], later], axis=1)
+
+    real256 = _to256(real[..., :3].reshape(B * Tc, *real.shape[2:4], 3))
+    fake256 = _to256(fake.reshape(B * Tc, *fake.shape[2:]))
+    losses = {}
+    if weights.l1 > 0:
+        losses["l1"] = jnp.mean(jnp.abs(real256 - fake256))
+    if weights.lpips > 0:
+        losses["lpips"] = lpips(real256, fake256)
+    total = sum(getattr(weights, k) * val for k, val in losses.items())
+    return total, losses
+
+
 def fewshot_ireal_loss(
     inv_run_seq: Callable,
     lpips: Callable,

@@ -28,6 +28,7 @@ from .inversion import (
     e4e_ireal_loss,
     fewshot_igen_loss,
     fewshot_ireal_loss,
+    fewshot_ireal_multiT_loss,
     oneshot_d_loss,
     oneshot_igen_loss,
     oneshot_ireal_loss,
@@ -70,6 +71,18 @@ def unet_decoder_trainable(path: str) -> bool:
     sub = path.split("/", 2)[-1]
     frozen_prefixes = ("input_layer", "body")
     return not sub.startswith(frozen_prefixes)
+
+
+def fewshot_tex_trainable(path: str) -> bool:
+    """Few-shot texture-unet param group (training_loop_video.py:294-300
+    Igen_tex_modules: decoder ups + out heads, trunk frozen)."""
+    return unet_decoder_trainable(path) and path.startswith("unet_encoder/texture_unet")
+
+
+def fewshot_tri_trainable(path: str) -> bool:
+    """Few-shot triplane-unet param group (training_loop_video.py:284-289
+    Igen_tri_modules)."""
+    return unet_decoder_trainable(path) and path.startswith("unet_encoder/triplane_unet")
 
 
 def masked_adam(lr: float, predicate, b1=0.9, b2=0.999):
@@ -351,6 +364,7 @@ def train_e4e(
     lpips_fn: Callable,
     id_fn: Optional[Callable] = None,
     max_steps: Optional[int] = None,
+    resume_dir: Optional[str] = None,
 ):
     """e4e-stage driver (reference encoder_inversion/training_loop.py:129-...)."""
     import os
@@ -358,7 +372,7 @@ def train_e4e(
 
     import numpy as np
 
-    from ..utils.checkpoint import save_orbax
+    from ..utils.checkpoint import restore_orbax, save_orbax
     from ..utils.stats import Collector, StatsLogger
 
     os.makedirs(cfg.run_dir, exist_ok=True)
@@ -372,6 +386,20 @@ def train_e4e(
     wd_tx = optax.adam(cfg.wd_lr)
     wd_state = TrainState(wd_vars["params"], wd_tx.init(wd_vars["params"]), {})
 
+    start_nimg = 0
+    start_step = 0
+    if resume_dir is not None:
+        template = {
+            "params": state.params, "opt_state": state.opt_state,
+            "wd_params": wd_state.params, "wd_opt_state": wd_state.opt_state,
+            "cur_nimg": np.asarray(0), "step_idx": np.asarray(0),
+        }
+        payload = restore_orbax(resume_dir, template)
+        state = TrainState(payload["params"], payload["opt_state"], buffers)
+        wd_state = TrainState(payload["wd_params"], payload["wd_opt_state"], {})
+        start_nimg = int(payload["cur_nimg"])
+        start_step = int(payload["step_idx"])
+
     step_fn = jax.jit(
         make_e4e_train_step(
             net, wd_module, lpips_fn, id_fn, tx, wd_tx, cfg.weights, cfg.wd_reg_interval
@@ -381,10 +409,21 @@ def train_e4e(
 
     collector = Collector()
     logger = StatsLogger(cfg.run_dir)
-    cur_nimg = 0
-    step_idx = 0
-    next_tick = cfg.kimg_per_tick * 1000
+    cur_nimg = start_nimg
+    step_idx = start_step
+    next_tick = cur_nimg + cfg.kimg_per_tick * 1000
     t0 = time.time()
+
+    def snapshot(tag):
+        save_orbax(
+            os.path.join(cfg.run_dir, tag),
+            {
+                "params": state.params, "opt_state": state.opt_state,
+                "wd_params": wd_state.params, "wd_opt_state": wd_state.opt_state,
+                "cur_nimg": np.asarray(cur_nimg), "step_idx": np.asarray(step_idx),
+            },
+        )
+
     while cur_nimg < cfg.total_kimg * 1000:
         batch = next(batch_iter)
         state, wd_state, aux = step_fn(
@@ -406,10 +445,7 @@ def train_e4e(
             if (cur_nimg // (cfg.kimg_per_tick * 1000)) % cfg.snapshot_ticks == 0 or (
                 max_steps and step_idx >= max_steps
             ):
-                save_orbax(
-                    os.path.join(cfg.run_dir, f"snapshot-{cur_nimg:08d}"),
-                    {"params": state.params, "wd_params": wd_state.params, "cur_nimg": np.asarray(cur_nimg)},
-                )
+                snapshot(f"snapshot-{cur_nimg:08d}")
         if max_steps and step_idx >= max_steps:
             break
     logger.close()
@@ -419,45 +455,168 @@ def train_e4e(
 def train_fewshot(
     net,  # InversionNet
     variables,
-    clip_iter,  # yields {'image' [B,T,...], 'c' [B,T,...], 'v', 'uv'}
+    clip_iter,  # yields {'image' [B,T_max,...], 'c' [B,T_max,...], 'v', 'uv', 'z'}
     cfg: InversionTrainConfig,
     lpips_fn: Callable,
+    d_module=None,  # DualDiscriminator when cfg.weights.adv > 0
+    d_variables=None,
     max_steps: Optional[int] = None,
+    multiT: Optional[tuple] = (6, 12, 18),
+    frm_per_chunk: int = 6,
+    resume_dir: Optional[str] = None,
 ):
-    """Few-shot-stage driver (reference training_loop_video.py:129-...)."""
+    """Few-shot-stage driver (reference training_loop_video.py:129-480).
+
+    Per batch (ref :402-429): one Ireal and one Igen phase, both updating the
+    batch-parity param group (tri-unet on even, tex-unet on odd, ref :284-303);
+    the clip length follows the {6,12,18} curriculum (ref :424-429, `multiT`
+    tuple; None disables multi-T and uses the full clip with `run_seq`);
+    optional D phase on synthetic pairs (ref video_loss.py:479-526).
+    Snapshots carry {params, both opt states, d_params, cur_nimg} and the loop
+    resumes from `resume_dir`."""
     import os
     import time
 
     import numpy as np
 
-    from ..utils.checkpoint import save_orbax
+    from ..utils.checkpoint import restore_orbax, save_orbax
     from ..utils.stats import Collector, StatsLogger
 
     os.makedirs(cfg.run_dir, exist_ok=True)
     rng = jax.random.PRNGKey(cfg.seed)
-    tx = masked_adam(cfg.lr, unet_decoder_trainable)
+    tx_tex = masked_adam(cfg.lr, fewshot_tex_trainable)
+    tx_tri = masked_adam(cfg.lr, fewshot_tri_trainable)
     buffers = {k: v for k, v in variables.items() if k != "params"}
-    state = TrainState(variables["params"], tx.init(variables["params"]), buffers)
-    step_fn = jax.jit(make_fewshot_train_step(net, lpips_fn, tx, cfg.weights))
+    params = variables["params"]
+    opt_states = {"tex": tx_tex.init(params), "tri": tx_tri.init(params)}
+
+    d_state = None
+    d_tx = None
+    d_step_fn = None
+    if d_module is not None and cfg.weights.adv > 0:
+        d_tx = optax.adam(cfg.lr)
+        d_state = TrainState(
+            d_variables["params"], d_tx.init(d_variables["params"]),
+            {k: v for k, v in d_variables.items() if k != "params"},
+        )
+        d_step_fn = jax.jit(
+            make_fewshot_d_step(net, d_module, d_tx, cfg.weights), static_argnames=("do_r1",)
+        )
+
+    cur_nimg = 0
+    step_idx = 0
+    if resume_dir is not None:
+        import numpy as _np
+
+        template = {
+            "params": params,
+            "opt_states": opt_states,
+            "cur_nimg": _np.asarray(0),
+            "step_idx": _np.asarray(0),
+        }
+        if d_state is not None:
+            template["d_params"] = d_state.params
+            template["d_opt_state"] = d_state.opt_state
+        payload = restore_orbax(resume_dir, template)
+        params = payload["params"]
+        opt_states = payload["opt_states"]
+        cur_nimg = int(payload["cur_nimg"])
+        step_idx = int(payload["step_idx"])
+        if d_state is not None:
+            d_state = TrainState(payload["d_params"], payload["d_opt_state"], d_state.buffers)
+
+    steps = {
+        "tex": jax.jit(
+            make_fewshot_train_step(net, lpips_fn, tx_tex, cfg.weights, frm_per_chunk),
+            static_argnames=("do_igen", "multiT"),
+        ),
+        "tri": jax.jit(
+            make_fewshot_train_step(net, lpips_fn, tx_tri, cfg.weights, frm_per_chunk),
+            static_argnames=("do_igen", "multiT"),
+        ),
+    }
+
+    # frozen-e4e ws for Ireal, precomputed per batch outside the train step
+    # (the reference batches carry `real_vid_ws`; keeps the IR-SE-50 trunk in
+    # ONE small program instead of every Ireal gradient program)
+    encode_fn = jax.jit(
+        lambda p, img: net.apply(
+            {"params": p, **buffers}, img, method=lambda m, x: m.encode(x)
+        )
+    )
+
+    def snapshot(tag):
+        payload = {
+            "params": state.params,
+            "opt_states": opt_states,
+            "cur_nimg": np.asarray(cur_nimg),
+            "step_idx": np.asarray(step_idx),
+        }
+        if d_state is not None:
+            payload["d_params"] = d_state.params
+            payload["d_opt_state"] = d_state.opt_state
+        save_orbax(os.path.join(cfg.run_dir, tag), payload)
 
     collector = Collector()
     logger = StatsLogger(cfg.run_dir)
-    cur_nimg = 0
-    step_idx = 0
+    t0 = time.time()
+    state = TrainState(params, opt_states["tri"], buffers)
     while (max_steps is None or step_idx < max_steps) and cur_nimg < cfg.total_kimg * 1000:
         batch = next(clip_iter)
-        state, aux = step_fn(state, batch, jax.random.fold_in(rng, step_idx))
+        unet, T, do_r1 = fewshot_phase_schedule(
+            step_idx, multiT or (batch["c"].shape[1],) * 3, cfg.wd_reg_interval
+        )
+        use_multiT = multiT is not None
+        T = min(T, batch["c"].shape[1])
+        sliced = dict(batch)
+        for key in ("image", "c", "uv"):
+            if key in sliced:
+                sliced[key] = sliced[key][:, :T]
+        sliced["v"] = {"uvcoords_image": batch["v"]["uvcoords_image"][:, :T]}
+        Tc = min(frm_per_chunk, T)
+        fake_idx = None
+        if use_multiT:
+            # per-step seeding keeps the draw reproducible across resume
+            npr = np.random.RandomState(cfg.seed * 1000003 + step_idx)
+            fake_idx = jnp.asarray(
+                np.concatenate([[0], 1 + npr.permutation(T - 1)[: Tc - 1]]).astype(np.int32)
+            )
+
+        sliced["ws"] = jax.lax.stop_gradient(
+            encode_fn(state.params, sliced["image"][:, 0, ..., :3])
+        )
+        state = TrainState(state.params, opt_states[unet], buffers)
+        # Ireal then Igen, same param group (training_loop_video.py:302-303, 404-406)
+        state, aux = steps[unet](
+            state, sliced, jax.random.fold_in(rng, 2 * step_idx),
+            do_igen=False, multiT=use_multiT, fake_idx=fake_idx,
+        )
+        if "z" in batch:
+            state, aux_g = steps[unet](
+                state, sliced, jax.random.fold_in(rng, 2 * step_idx + 1),
+                do_igen=True, multiT=use_multiT, fake_idx=fake_idx,
+            )
+            aux = {**aux, **aux_g}
+        opt_states[unet] = state.opt_state
+        if d_step_fn is not None and "z" in batch:
+            d_state, d_aux = d_step_fn(
+                state, d_state, sliced, jax.random.fold_in(rng, -step_idx - 1), do_r1=do_r1
+            )
+            aux = {**aux, **d_aux}
         cur_nimg += cfg.batch_size
         step_idx += 1
         for k, v in aux.items():
             collector.report(k, np.asarray(v))
         if step_idx % 50 == 0 or (max_steps and step_idx >= max_steps):
             collector.update()
-            print(" ".join(f"{n}={collector.mean(n):.4f}" for n in collector.names()))
+            print(
+                f"kimg {cur_nimg/1000:.2f} ({time.time()-t0:.0f}s) "
+                + " ".join(f"{n}={collector.mean(n):.4f}" for n in collector.names())
+            )
             logger.write(collector, cur_nimg)
-    save_orbax(os.path.join(cfg.run_dir, "snapshot-final"), {"params": state.params})
+    snapshot("snapshot-final")
     logger.close()
-    return state
+    return state, d_state
 
 
 def train_oneshot(
@@ -469,6 +628,7 @@ def train_oneshot(
     lpips_fn: Callable,
     id_fn: Optional[Callable] = None,
     max_steps: Optional[int] = None,
+    resume_dir: Optional[str] = None,
 ):
     """One-shot-stage driver (reference training_loop_unet_interval.py:356-368):
     batch-parity phase alternation with per-unet masked optimizers."""
@@ -477,7 +637,7 @@ def train_oneshot(
 
     import numpy as np
 
-    from ..utils.checkpoint import save_orbax
+    from ..utils.checkpoint import restore_orbax, save_orbax
     from ..utils.stats import Collector, StatsLogger
 
     os.makedirs(cfg.run_dir, exist_ok=True)
@@ -513,10 +673,36 @@ def train_oneshot(
         ),
     }
 
-    collector = Collector()
-    logger = StatsLogger(cfg.run_dir)
     cur_nimg = 0
     step_idx = 0
+    if resume_dir is not None:
+        template = {
+            "params": state.params, "opt_states": opt_states,
+            "cur_nimg": np.asarray(0), "step_idx": np.asarray(0),
+        }
+        if d_state is not None:
+            template["d_params"] = d_state.params
+            template["d_opt_state"] = d_state.opt_state
+        payload = restore_orbax(resume_dir, template)
+        state = TrainState(payload["params"], state.opt_state, buffers)
+        opt_states = payload["opt_states"]
+        cur_nimg = int(payload["cur_nimg"])
+        step_idx = int(payload["step_idx"])
+        if d_state is not None:
+            d_state = TrainState(payload["d_params"], payload["d_opt_state"], d_state.buffers)
+
+    def snapshot(tag):
+        payload = {
+            "params": state.params, "opt_states": opt_states,
+            "cur_nimg": np.asarray(cur_nimg), "step_idx": np.asarray(step_idx),
+        }
+        if d_state is not None:
+            payload["d_params"] = d_state.params
+            payload["d_opt_state"] = d_state.opt_state
+        save_orbax(os.path.join(cfg.run_dir, tag), payload)
+
+    collector = Collector()
+    logger = StatsLogger(cfg.run_dir)
     t0 = time.time()
     while (max_steps is None or step_idx < max_steps) and cur_nimg < cfg.total_kimg * 1000:
         batch = next(batch_iter)
@@ -543,7 +729,7 @@ def train_oneshot(
                 + " ".join(f"{n}={collector.mean(n):.4f}" for n in collector.names())
             )
             logger.write(collector, cur_nimg)
-    save_orbax(os.path.join(cfg.run_dir, "snapshot-final"), {"params": state.params})
+    snapshot("snapshot-final")
     logger.close()
     return state, d_state
 
@@ -553,11 +739,18 @@ def make_fewshot_train_step(
     lpips_fn: Callable,
     tx: optax.GradientTransformation,
     weights: InversionLossWeights,
+    frm_per_chunk: int = 6,
 ):
-    """One step = Ireal on a real clip + Igen on a synthetic clip
-    (training_loop_video.py:404-429 alternation collapsed into one update)."""
+    """One step = one I-phase update (training_loop_video.py:402-429).
 
-    def step(state: TrainState, batch: Dict, rng, do_igen: bool = False):
+    `do_igen` selects the Igen (synthetic-clip) vs Ireal (real-clip) phase;
+    `multiT` routes the rollout through `run_seq_multiT` (no-grad prefix
+    chunks, video_loss.py:289-357) — the clip length T is whatever the batch
+    carries, sliced by the driver's {6,12,18} curriculum. `fake_idx` is the
+    Ireal loss frame subset ([0] + random, video_loss.py:429)."""
+
+    def step(state: TrainState, batch: Dict, rng, do_igen: bool = False,
+             multiT: bool = False, fake_idx=None):
         rngs = {"noise": jax.random.fold_in(rng, 0), "ray": jax.random.fold_in(rng, 1)}
 
         def loss_fn(params):
@@ -565,26 +758,52 @@ def make_fewshot_train_step(
 
             def run_seq(frames, c, v, uv, ws):
                 return I_module.apply(
-                    variables, frames, c, v, uv, ws,
+                    variables, frames, c, {"uvcoords_image": v["uvcoords_image"]}, uv, ws,
                     method=lambda m, f, c, v, uv, ws: m.run_seq(f, c, v, uv, ws=ws),
                     rngs=rngs,
                 )
 
-            inv_run_seq = lambda f, c, v, uv, ws: run_seq(
-                f, c, {"uvcoords_image": v["uvcoords_image"]}, uv, ws
-            )
+            def run_multiT(frames, c, v, uv, idx, ws):
+                return I_module.apply(
+                    variables, frames, c, {"uvcoords_image": v["uvcoords_image"]}, uv, idx, ws,
+                    method=lambda m, f, c, v, uv, idx, ws: m.run_seq_multiT(
+                        f, c, v, uv, frm_per_chunk=frm_per_chunk, return_idx=idx, ws=ws
+                    ),
+                    rngs=rngs,
+                )
+
             if do_igen:
                 # Igen: self-supervised on a synthetic clip (video_loss.py:373-425)
                 gens = _fewshot_gen_closures(I_module, variables, rngs)
+                if multiT:
+                    def inv_run(f, c, v, uv, ws):
+                        out = run_multiT(f, c, v, uv, None, ws)
+                        B, T = out["image"].shape[:2]
+                        return {**out, "image": out["image"].reshape(B * T, *out["image"].shape[2:])}
+                else:
+                    inv_run = run_seq
                 total, aux = fewshot_igen_loss(
-                    inv_run_seq, *gens, lpips_fn, weights,
+                    inv_run, *gens, lpips_fn, weights,
                     batch["z"], batch["c"], batch["v"], batch["uv"],
                 )
                 return total, {f"Igen/{k}": v for k, v in aux.items()}
-            total, aux = fewshot_ireal_loss(
-                inv_run_seq, lpips_fn, weights,
-                batch["image"], batch["c"], batch["v"], batch["uv"],
-            )
+            # Ireal consumes the driver-precomputed frozen-e4e ws when present
+            # (reference batches carry `real_vid_ws`, training_loop_video.py /
+            # video_loss.py:430 run_G(..., real_vid_ws, ...)) — this also keeps
+            # the IR-SE-50 trunk out of the Ireal gradient program entirely
+            ws_in = batch.get("ws")
+            if multiT:
+                total, aux = fewshot_ireal_multiT_loss(
+                    run_multiT, lpips_fn, weights,
+                    batch["image"], batch["c"], batch["v"], batch["uv"], fake_idx,
+                    ws=ws_in,
+                )
+            else:
+                total, aux = fewshot_ireal_loss(
+                    run_seq, lpips_fn, weights,
+                    batch["image"], batch["c"], batch["v"], batch["uv"],
+                    ws=ws_in,
+                )
             return total, {f"Ireal/{k}": v for k, v in aux.items()}
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -592,6 +811,17 @@ def make_fewshot_train_step(
         return TrainState(optax.apply_updates(state.params, updates), opt_state, state.buffers), aux
 
     return step
+
+
+def fewshot_phase_schedule(batch_idx: int, curriculum=(6, 12, 18), d_reg_interval: int = 16):
+    """training_loop_video.py:404-406 + 424-429: (unet param group, clip length
+    T for this batch, do_r1) — tri-unet on even batches, tex-unet on odd; the
+    multi-T curriculum cycles 6/6-12/12-18 by batch_idx % 5."""
+    unet = "tri" if batch_idx % 2 == 0 else "tex"
+    m = batch_idx % 5
+    T = curriculum[0] if m < 1 else (curriculum[1] if m < 3 else curriculum[2])
+    do_r1 = batch_idx % d_reg_interval == 0
+    return unet, T, do_r1
 
 
 def _fewshot_gen_closures(I_module, variables, rngs):

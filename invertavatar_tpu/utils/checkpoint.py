@@ -103,8 +103,13 @@ def save_orbax(path: str, tree) -> None:
     ckptr.save(os.path.abspath(path), tree)
 
 
-def restore_orbax(path: str):
+def restore_orbax(path: str, template=None):
+    """Restore a pytree; `template` (a matching pytree, e.g. a freshly built
+    TrainState/opt-state) restores into the original container classes —
+    orbax otherwise returns plain nested dicts, which breaks optax states."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    if template is None:
+        return ckptr.restore(os.path.abspath(path))
+    return ckptr.restore(os.path.abspath(path), item=template)

@@ -5,7 +5,12 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is XLA-CPU-compile-bound (single-core hosts). Dial optimization
+# down: ~1.8x faster compiles, numerics unaffected at test tolerances.
+if "xla_backend_optimization_level" not in flags:
+    flags += " --xla_backend_optimization_level=0 --xla_llvm_disable_expensive_passes=true"
+os.environ["XLA_FLAGS"] = flags
 
 # Persistent compilation cache: repeat runs of the compile-heavy parity tests
 # skip XLA compilation entirely (VERDICT r1 weak #4 — suite wall-clock).

@@ -370,3 +370,157 @@ def test_oneshot_step_tiny():
     f1 = jax.tree_util.tree_leaves(s2.params["unet_encoder"]["triplane_unet"])
     for a, b in zip(f0, f1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _tiny_fewshot_net_and_batch(T=4):
+    """Tiny InversionNet + a T-frame clip batch (shared by the multiT tests)."""
+    from invertavatar_tpu.models.encoders.uvnet import InversionNet
+    from invertavatar_tpu.train.dryrun import TINY_RENDERING_KWARGS, _fake_batch
+
+    gen_cfg = dict(
+        z_dim=32, c_dim=25, w_dim=512, img_resolution=128, img_channels=3,
+        rendering_kwargs=dict(TINY_RENDERING_KWARGS, depth_resolution=6,
+                              depth_resolution_importance=6),
+        neural_rendering_resolution=32, channel_base=1024, channel_max=64,
+        map_num_layers=2,
+    )
+    net = InversionNet(generator_cfg=gen_cfg, texture_out_channels=(32, 32, 16, 8))
+    rng = jax.random.PRNGKey(0)
+    rngs = {"params": rng, "buffers": jax.random.fold_in(rng, 1),
+            "noise": jax.random.fold_in(rng, 2), "ray": jax.random.fold_in(rng, 3)}
+    raw = _fake_batch(np.random.RandomState(0), batch=1, res=256, z_dim=32)
+    # per-frame variation so the GRU sees a non-constant sequence
+    imgs = np.tile(raw["image"][:, None], (1, T, 1, 1, 1)).astype(np.float32)
+    for t in range(T):
+        imgs[:, t] += 0.1 * np.sin(t + 1.0)
+    uvc = jnp.tile(jnp.asarray(raw["v"]["uvcoords_image"])[:, None], (1, T, 1, 1, 1))
+    batch = {
+        "image": jnp.asarray(imgs),
+        "c": jnp.tile(jnp.asarray(raw["c"])[:, None], (1, T, 1)),
+        "v": {"uvcoords_image": uvc},
+        "uv": jnp.zeros((1, T, 256, 256, 6), jnp.float32),
+        "z": jnp.asarray(raw["z"]),
+    }
+    variables = net.init(
+        rngs, batch["image"], batch["c"], batch["v"], batch["uv"], None,
+        method=lambda m, f, c, v, uv, ws: m.run_seq(f, c, v, uv, ws=ws),
+    )
+    gen_vars = net.init(
+        rngs, batch["z"], batch["c"][:, 0], {"uvcoords_image": uvc[:, 0]},
+        method=lambda m, z, cc, v: m.generator(z, cc, v),
+    )
+    variables = dict(variables)
+    variables["params"] = dict(variables["params"])
+    variables["params"]["generator"] = dict(variables["params"]["generator"])
+    variables["params"]["generator"]["backbone"] = gen_vars["params"]["generator"]["backbone"]
+    variables["buffers"] = dict(variables["buffers"])
+    variables["buffers"]["generator"] = gen_vars["buffers"]["generator"]
+    return net, variables, batch
+
+
+@pytest.mark.slow
+def test_run_seq_multiT_rollout():
+    """run_seq_multiT: finite outputs; the no-grad prefix chunk's GRU state
+    changes the final chunk's result (video_loss.py:289-357 semantics).
+
+    Runs EAGER (disable_jit): the jitted rollout is one graph with ~5 full
+    generator forwards — XLA-CPU compile exceeds 3 h on a 1-core host and the
+    axon remote compiler rejects it; eager runs it in minutes and the
+    assertions are mode-consistent."""
+    with jax.disable_jit():
+        _run_seq_multiT_rollout_body()
+
+
+def _run_seq_multiT_rollout_body():
+    net, variables, batch = _tiny_fewshot_net_and_batch(T=4)
+    rngs = {"ray": jax.random.PRNGKey(9), "noise": jax.random.PRNGKey(10)}
+
+    def run(frames, idx):
+        return net.apply(
+            variables, frames, batch["c"], batch["v"], batch["uv"],
+            method=lambda m, f, c, v, uv: m.run_seq_multiT(
+                f, c, v, uv, frm_per_chunk=2, return_idx=idx
+            ),
+            rngs=rngs,
+        )
+
+    run_j = jax.jit(lambda f: run(f, jnp.asarray([0, 3])))
+    out = run_j(batch["image"])
+    assert out["image"].shape[:2] == (1, 2)
+    assert np.all(np.isfinite(np.asarray(out["image"])))
+
+    # perturb only the PREFIX chunk (frames 0-1): the carried GRU state must
+    # change the final render even though the last chunk's inputs are identical
+    frames2 = batch["image"].at[:, 0:2].add(0.25)
+    out2 = run_j(frames2)
+    # ws comes from frame 0 which changed; pin ws to isolate the GRU effect
+    ws = net.apply(variables, batch["image"][:, 0],
+                   method=lambda m, x: m.encode(x), rngs=rngs)
+    run_ws = jax.jit(lambda f: net.apply(
+        variables, f, batch["c"], batch["v"], batch["uv"], jnp.asarray([0, 3]), ws,
+        method=lambda m, f, c, v, uv, idx, w: m.run_seq_multiT(
+            f, c, v, uv, frm_per_chunk=2, return_idx=idx, ws=w
+        ),
+        rngs=rngs,
+    ))
+    o1 = run_ws(batch["image"])
+    o2 = run_ws(frames2)
+    d = float(jnp.abs(o1["image"] - o2["image"]).max())
+    assert np.isfinite(d) and d > 0, "prefix chunk state must affect the final chunk"
+
+
+@pytest.mark.slow
+def test_fewshot_driver_multiT_curriculum(tmp_path):
+    """train_fewshot: phase machine with both param groups, Igen alternation,
+    snapshot + bitwise resume (VERDICT r1 #4/#7). Compile surface is kept to
+    what this test uniquely exercises: T pinned to 2 and no "z" in the batch
+    (Ireal-only — the Igen/D step programs are covered by
+    test_fewshot_step_tiny; the T-growing chunked-prefix semantics by
+    test_run_seq_multiT_rollout)."""
+    with jax.disable_jit():
+        _fewshot_driver_body(tmp_path)
+
+
+def _fewshot_driver_body(tmp_path):
+    from invertavatar_tpu.train.loop_inversion import InversionTrainConfig, train_fewshot
+
+    net, variables, batch = _tiny_fewshot_net_and_batch(T=2)
+    batch.pop("z")
+
+    def it():
+        while True:
+            yield batch
+
+    weights = InversionLossWeights(l1=1.0, lpips=0.0, id=0.0, raw_l1=1.0, tri=0.001,
+                                   lr_lpips=0.0, adv=0.0)
+    cfg = InversionTrainConfig(run_dir=str(tmp_path / "run"), batch_size=1,
+                               lr=1e-4, weights=weights, seed=3)
+    state, _ = train_fewshot(
+        net, variables, it(), cfg, lambda a, b: jnp.mean(jnp.abs(a - b)),
+        max_steps=4, multiT=(2, 2, 2), frm_per_chunk=2,
+    )
+    # 4 steps = tri/tex alternation hit both groups; decoders moved, trunks frozen
+    for unet in ("texture_unet", "triplane_unet"):
+        a = jax.tree_util.tree_leaves(variables["params"]["unet_encoder"][unet]["body"])
+        b = jax.tree_util.tree_leaves(state.params["unet_encoder"][unet]["body"])
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        a = jax.tree_util.tree_leaves(variables["params"]["unet_encoder"][unet]["up2"])
+        b = jax.tree_util.tree_leaves(state.params["unet_encoder"][unet]["up2"])
+        assert any(np.abs(np.asarray(x) - np.asarray(y)).max() > 0 for x, y in zip(a, b))
+
+    # resume: 4 steps straight == 2 steps + snapshot + 2 resumed steps (bitwise)
+    cfg2 = InversionTrainConfig(run_dir=str(tmp_path / "run2"), batch_size=1,
+                                lr=1e-4, weights=weights, seed=3)
+    train_fewshot(net, variables, it(), cfg2, lambda a, b: jnp.mean(jnp.abs(a - b)),
+                  max_steps=2, multiT=(2, 2, 2), frm_per_chunk=2)
+    cfg3 = InversionTrainConfig(run_dir=str(tmp_path / "run3"), batch_size=1,
+                                lr=1e-4, weights=weights, seed=3)
+    state_r, _ = train_fewshot(
+        net, variables, it(), cfg3, lambda a, b: jnp.mean(jnp.abs(a - b)),
+        max_steps=4, multiT=(2, 2, 2), frm_per_chunk=2,
+        resume_dir=str(tmp_path / "run2" / "snapshot-final"),
+    )
+    for x, y in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state_r.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

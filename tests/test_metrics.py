@@ -194,3 +194,82 @@ def test_voxel_sampling_and_cross_section():
                               resolution=32, w=0.5)
     assert cs.shape == (1, 32, 32, 1)
     assert cs[0, 16, 16, 0] == 1.0 and cs[0, 0, 0, 0] == 0.0
+
+
+def test_feature_stats_parity_vs_reference():
+    """Cached-stats math parity vs the live reference FeatureStats
+    (metrics/metric_utils.py:95-160): identical mean/cov under batched
+    accumulation + mid-batch max_items truncation, identical FID formula
+    (frechet_inception_distance.py:38-41)."""
+    import sys
+
+    import pytest
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    try:
+        from metrics.metric_utils import FeatureStats as RefStats
+    except Exception as e:  # torch/dnnlib import surface
+        pytest.skip(f"reference import unavailable: {e}")
+
+    rng = np.random.RandomState(7)
+    batches = [rng.randn(n, 16).astype(np.float32) * 3 + 0.5 for n in (37, 64, 50, 80)]
+
+    ours = FeatureStats(max_items=150)
+    ref = RefStats(capture_mean_cov=True, max_items=150)
+    for b in batches:
+        ours.append(b)
+        ref.append(b)
+    assert ours.num_items == ref.num_items == 150
+    m0, c0 = ours.get_mean_cov()
+    m1, c1 = ref.get_mean_cov()
+    np.testing.assert_allclose(m0, m1, atol=0, rtol=0)
+    np.testing.assert_allclose(c0, c1, atol=0, rtol=0)
+
+    # FID formula parity (frechet_inception_distance.py:38-41) on two
+    # distinct accumulations
+    gen = FeatureStats(max_items=150)
+    for b in batches:
+        gen.append(b[::-1] * 1.1 + 0.2)
+    mg, cg = gen.get_mean_cov()
+    import scipy.linalg
+
+    m = np.square(mg - m1).sum()
+    s, _ = scipy.linalg.sqrtm(np.dot(cg, c1), disp=False)
+    ref_fid = float(np.real(m + np.trace(cg + c1 - s * 2)))
+    assert abs(compute_fid(ours, gen) - ref_fid) < 1e-8
+
+
+def test_dataset_stats_cache_roundtrip(tmp_path):
+    """dataset_feature_stats caching (metric_utils.py:217 idiom): the second
+    call must hit the cache file and never invoke the detector."""
+    from invertavatar_tpu.metrics.fid import dataset_feature_stats
+
+    rng = np.random.RandomState(3)
+    images = [
+        {"image": rng.rand(8, 8, 3).astype(np.float32) * 2 - 1} for _ in range(20)
+    ]
+
+    class DS(list):
+        path = "fake-ds"
+
+    ds = DS(images)
+    calls = []
+
+    def detector(u8):
+        calls.append(u8.shape[0])
+        return u8.reshape(u8.shape[0], -1).astype(np.float64) / 255.0
+
+    s1 = dataset_feature_stats(ds, detector, max_items=12, batch_size=5,
+                               cache_dir=str(tmp_path), cache_tag="t")
+    assert sum(calls) == 12
+    n_calls = len(calls)
+    s2 = dataset_feature_stats(ds, detector, max_items=12, batch_size=5,
+                               cache_dir=str(tmp_path), cache_tag="t")
+    assert len(calls) == n_calls, "second call must be served from the cache"
+    np.testing.assert_array_equal(s1.get_mean_cov()[0], s2.get_mean_cov()[0])
+    np.testing.assert_array_equal(s1.get_mean_cov()[1], s2.get_mean_cov()[1])
+    # a different tag (detector identity) must not collide
+    s3 = dataset_feature_stats(ds, detector, max_items=12, batch_size=5,
+                               cache_dir=str(tmp_path), cache_tag="other")
+    assert len(calls) > n_calls
