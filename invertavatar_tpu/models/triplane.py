@@ -200,8 +200,15 @@ class TriPlaneGenerator(nn.Module):
                 rendering_feat = grid_sample(texture, g_s)  # [B, res, res, C] fp32
             else:
                 # row gather wins here: the wide-C texture taps (up to 512ch)
-                # give large per-row slices (patch variant measured slower)
-                warped = grid_sample(texture, grid)  # [B, 256, 256, C] fp32 blend
+                # give large per-row slices (patch variant measured slower).
+                # Under the fast path, fp32 taps gather as bf16 (half the
+                # traffic; same error class as the bf16 backbone taps).
+                src_tex = (
+                    texture.astype(jnp.bfloat16)
+                    if (fast_uv and texture.dtype == jnp.float32)
+                    else texture
+                )
+                warped = grid_sample(src_tex, grid)  # [B, 256, 256, C] fp32 blend
                 rendering_feat = resize_bilinear(warped, (res, res), antialias=True)
                 alpha_ = resize_bilinear(alpha, (res, res), antialias=True)
             if static_small is not None:

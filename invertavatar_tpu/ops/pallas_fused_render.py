@@ -177,10 +177,11 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W", "O", "exact")
+    jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W", "O", "exact", "out_dtype")
 )
 def _fused_call(planes3, ys, xsc, gy, gx, w1, b1, w2, b2,
-                win_r: int, win_c: int, C: int, H: int, W: int, O: int, exact: bool):
+                win_r: int, win_c: int, C: int, H: int, W: int, O: int, exact: bool,
+                out_dtype=jnp.float32):
     _, G, P = gy.shape  # gy: [3, G, P] -> rearranged to [G, 3, P] blocks
     gy = jnp.transpose(gy, (1, 0, 2))
     gx = jnp.transpose(gx, (1, 0, 2))
@@ -209,7 +210,7 @@ def _fused_call(planes3, ys, xsc, gy, gx, w1, b1, w2, b2,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G, P, O), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, P, O), out_dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ys, xsc, planes3, gy, gx, w1.astype(jnp.float32), b1.reshape(1, -1).astype(jnp.float32),
       w2.astype(jnp.float32), b2.reshape(1, -1).astype(jnp.float32))
@@ -279,6 +280,9 @@ def fused_render_pallas(
         ys, xs * C, gy, gx, w1, b1, w2, b2,
         win_r=win_r, win_c=win_c, C=C, H=H, W=W, O=O,
         exact=False,
+        # raw layout feeds the merged-march pass which upcasts on read —
+        # bf16 halves the 104 MB Phase-A round-trip (error class = payload)
+        out_dtype=jnp.bfloat16 if return_raw else jnp.float32,
     )  # [T*S_g, P_g, O]
     if return_raw:
         assert s_group == 1
