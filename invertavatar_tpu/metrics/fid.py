@@ -178,8 +178,12 @@ def make_vert_conditioned_sample_fn(G, variables, z_dim: int = 512, dataset=None
     import jax.numpy as jnp
 
     fwd = jax.jit(
-        lambda v, z, c, uvc: G.apply(
-            v, z, c, {"uvcoords_image": uvc}, noise_mode="const", evaluation=True
+        lambda v, z, c, uvc, key: G.apply(
+            v, z, c, {"uvcoords_image": uvc}, noise_mode="const", evaluation=True,
+            # the reference samples metrics with the generator's default noise
+            # (training_loop.py:494 -> metric_utils run_generator); the SR
+            # noise mode comes from rendering_kwargs and may be 'random'
+            rngs={"noise": key, "ray": jax.random.fold_in(key, 1)},
         )["image"]
     )
 
@@ -191,7 +195,11 @@ def make_vert_conditioned_sample_fn(G, variables, z_dim: int = 512, dataset=None
             item = dataset[int(i)]
             cs.append(np.asarray(item["c"], np.float32))
             uvs.append(np.asarray(item["v"]["uvcoords_image"], np.float32))
-        out = fwd(variables, jnp.asarray(z), jnp.asarray(np.stack(cs)), jnp.asarray(np.stack(uvs)))
+        out = fwd(
+            variables, jnp.asarray(z), jnp.asarray(np.stack(cs)),
+            jnp.asarray(np.stack(uvs)),
+            jax.random.PRNGKey(int(rng.randint(0, 2**31 - 1))),
+        )
         return np.asarray(out, np.float32)
 
     return sample_fn

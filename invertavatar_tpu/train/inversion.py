@@ -242,7 +242,10 @@ def oneshot_ireal_loss(
     channel is present the fake is composited onto the real background."""
     i_out = inv_forward(real_img, real_c, real_v, False)
     image = real_img["image"]
-    real_raw128 = resize_bilinear(image[..., :3], (128, 128), antialias=True)
+    # raw supervision happens at the generator's neural-render resolution
+    # (128 at flagship, unet_loss.py:169; smaller in tiny test configs)
+    nrr = i_out["feature_image"].shape[1]
+    real_raw128 = resize_bilinear(image[..., :3], (nrr, nrr), antialias=True)
 
     losses = {}
     if weights.adv > 0 and d_apply is not None:

@@ -213,7 +213,11 @@ def train_gan(
                     G_snap = dataclasses.replace(G, neural_rendering_resolution=nrr)
                     out = jax.jit(
                         lambda v, z, c, uvc: G_snap.apply(
-                            v, z, c, {"uvcoords_image": uvc}, noise_mode="const"
+                            v, z, c, {"uvcoords_image": uvc}, noise_mode="const",
+                            # the SR module's noise mode comes from the config
+                            # (training default 'random') and needs an rng
+                            rngs={"noise": jax.random.PRNGKey(0),
+                                  "ray": jax.random.PRNGKey(1)},
                         )["image"]
                     )(
                         {"params": ema_params, "buffers": g_state.buffers},
