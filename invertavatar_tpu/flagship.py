@@ -119,3 +119,34 @@ def init_flagship(G: TriPlaneGenerator, seed: int = 0):
     ]
     host = jax.tree_util.tree_unflatten(treedef, vals)
     return jax.device_put(host)
+
+
+def init_by_shape(init_thunk, seed: int = 0):
+    """Materialize `init_thunk()`'s variable tree WITHOUT executing it.
+
+    `jax.eval_shape` traces on the host (no device dispatch — critical through
+    the axon relay, where an eager flax `init` dispatches thousands of tiny
+    ops at ~1 RTT each), then leaves are filled with scaled Gaussians on the
+    host and shipped in one `device_put`. For random-weight benches/validation
+    only — real training uses converted checkpoints.
+
+    init_thunk: zero-arg callable running `module.init(...)` (closed over
+    rngs/inputs).
+    """
+    shapes = jax.eval_shape(init_thunk)
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    npr = np.random.RandomState(seed)
+
+    def leaf(path, s):
+        if not np.issubdtype(s.dtype, np.floating):
+            return np.zeros(s.shape, s.dtype)
+        name = "/".join(str(getattr(k, "key", k)) for k in path).lower()
+        # neutral values for stats-like buffers (BN var must be positive)
+        if "var" in name:
+            return np.ones(s.shape, s.dtype)
+        if "mean" in name or "avg" in name:
+            return np.zeros(s.shape, s.dtype)
+        return (npr.standard_normal(s.shape) * 0.1).astype(s.dtype)
+
+    vals = [leaf(p, s) for p, s in paths_leaves]
+    return jax.device_put(jax.tree_util.tree_unflatten(treedef, vals))

@@ -73,7 +73,9 @@ class StyleConvGRU(nn.Module):
             o = cell(x_t, h_t)
             return o, 0.0
 
-        h_final, _ = _jax.lax.scan(step, h, jnp.moveaxis(x, 1, 0))
+        # unroll: conv-in-rolled-scan hits a ~90x slower XLA:CPU path (see
+        # unet_encoders.ConvGRU); T is small and static
+        h_final, _ = _jax.lax.scan(step, h, jnp.moveaxis(x, 1, 0), unroll=True)
         return h_final, h_final
 
 

@@ -93,7 +93,12 @@ class ConvGRU(nn.Module):
             o = cell(x_t, h_t)
             return o, (o if seq2seq else 0.0)
 
-        h_final, outs = jax.lax.scan(step, h, jnp.moveaxis(x, 1, 0))
+        # unroll: T is small and static everywhere (<=6 per multi-T chunk,
+        # 4-frame ar_forward chunks), and XLA:CPU executes convolutions inside
+        # a rolled scan body via a catastrophically slow non-Eigen path
+        # (~90x: 248s vs 1.4s for one T=2 GRU backward at 96ch/128^2).
+        # Unrolling also lets XLA fuse gates across steps on TPU.
+        h_final, outs = jax.lax.scan(step, h, jnp.moveaxis(x, 1, 0), unroll=True)
         if seq2seq:
             return jnp.moveaxis(outs, 0, 1), h_final
         return h_final, h_final

@@ -177,11 +177,12 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W", "O", "exact", "out_dtype")
+    jax.jit,
+    static_argnames=("win_r", "win_c", "C", "H", "W", "O", "exact", "out_dtype", "interpret"),
 )
 def _fused_call(planes3, ys, xsc, gy, gx, w1, b1, w2, b2,
                 win_r: int, win_c: int, C: int, H: int, W: int, O: int, exact: bool,
-                out_dtype=jnp.float32):
+                out_dtype=jnp.float32, interpret: bool = False):
     _, G, P = gy.shape  # gy: [3, G, P] -> rearranged to [G, 3, P] blocks
     gy = jnp.transpose(gy, (1, 0, 2))
     gx = jnp.transpose(gx, (1, 0, 2))
@@ -190,7 +191,7 @@ def _fused_call(planes3, ys, xsc, gy, gx, w1, b1, w2, b2,
         num_scalar_prefetch=2,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # planes stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # planes stay in HBM
             pl.BlockSpec((1, 3, P), lambda g, ys, xsc: (g, 0, 0)),
             pl.BlockSpec((1, 3, P), lambda g, ys, xsc: (g, 0, 0)),
             pl.BlockSpec((C, HID), lambda g, ys, xsc: (0, 0)),
@@ -212,6 +213,7 @@ def _fused_call(planes3, ys, xsc, gy, gx, w1, b1, w2, b2,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G, P, O), out_dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(ys, xsc, planes3, gy, gx, w1.astype(jnp.float32), b1.reshape(1, -1).astype(jnp.float32),
       w2.astype(jnp.float32), b2.reshape(1, -1).astype(jnp.float32))
 
@@ -226,6 +228,7 @@ def fused_render_pallas(
     payload_dtype=jnp.bfloat16,
     s_group: int = 1,
     return_raw: bool = False,
+    interpret: bool = False,
 ):
     """Fused windowed sampling + OSG decoder -> (rgb [R,S,out], sigma [R,S,1]).
 
@@ -283,6 +286,7 @@ def fused_render_pallas(
         # raw layout feeds the merged-march pass which upcasts on read —
         # bf16 halves the 104 MB Phase-A round-trip (error class = payload)
         out_dtype=jnp.bfloat16 if return_raw else jnp.float32,
+        interpret=interpret,
     )  # [T*S_g, P_g, O]
     if return_raw:
         assert s_group == 1
@@ -423,12 +427,12 @@ def _kernel_march(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W", "O", "Sm", "U")
+    jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W", "O", "Sm", "U", "interpret")
 )
 def _merged_call(planes3, ys, xsc, isf, fslot, csrc, coarse, gy, gx, dinfo,
                  w1, b1, w2, b2,
                  win_r: int, win_c: int, C: int, H: int, W: int, O: int, Sm: int,
-                 U: int = 2):
+                 U: int = 2, interpret: bool = False):
     _, G, P = gy.shape
     gy = jnp.transpose(gy, (1, 0, 2))  # [G, 3, P]
     gx = jnp.transpose(gx, (1, 0, 2))
@@ -439,7 +443,7 @@ def _merged_call(planes3, ys, xsc, isf, fslot, csrc, coarse, gy, gx, dinfo,
         num_scalar_prefetch=5,
         grid=(K,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # planes in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # planes in HBM
         ]
         + [
             pl.BlockSpec(
@@ -476,6 +480,7 @@ def _merged_call(planes3, ys, xsc, isf, fslot, csrc, coarse, gy, gx, dinfo,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, P, C + 2), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(ys, xsc, isf, fslot, csrc, planes3, *([coarse] * U), gy, gx, dinfo2,
       w1.astype(jnp.float32), b1.reshape(1, -1).astype(jnp.float32),
       w2.astype(jnp.float32), b2.reshape(1, -1).astype(jnp.float32))
@@ -494,6 +499,7 @@ def fused_merged_march_pallas(
     tile: int = 16,
     window: int = 32,
     payload_dtype=jnp.bfloat16,
+    interpret: bool = False,
 ):
     """Run the merged coarse∪fine pass with the in-kernel march.
 
@@ -553,6 +559,7 @@ def fused_merged_march_pallas(
         coarse_out, gy.reshape(N, G, P), gx.reshape(N, G, P), dinfo,
         w1, b1, w2, b2,
         win_r=win_r, win_c=win_c, C=C, H=H, W=W, O=O, Sm=Sm, U=U,
+        interpret=interpret,
     )  # [T, P, C+2]
     out = out.reshape(t_side, t_side, tile, tile, C + 2)
     out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(res * res, C + 2)

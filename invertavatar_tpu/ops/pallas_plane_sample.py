@@ -152,16 +152,16 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W", "exact")
+    jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W", "exact", "interpret")
 )
 def _sample_one_plane(plane2d, ys, xsc, gy, gx, win_r: int, win_c: int, C: int,
-                      H: int, W: int, exact: bool):
+                      H: int, W: int, exact: bool, interpret: bool = False):
     G, P = gy.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # plane stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # plane stays in HBM
             pl.BlockSpec((1, 1, P), lambda g, ys, xsc: (g, 0, 0)),
             pl.BlockSpec((1, 1, P), lambda g, ys, xsc: (g, 0, 0)),
         ],
@@ -179,6 +179,9 @@ def _sample_one_plane(plane2d, ys, xsc, gy, gx, win_r: int, win_c: int, C: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G, P, C), plane2d.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # TPU interpret mode: emulates the grid walk + DMAs on CPU so the
+        # kernel logic is testable without hardware (VERDICT r2 #2)
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(ys, xsc, plane2d, gy.reshape(G, 1, P), gx.reshape(G, 1, P))
 
 
@@ -191,6 +194,7 @@ def sample_planes_windowed_pallas(
     payload_dtype=jnp.float32,
     exact: bool = True,
     s_group: int = 1,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Windowed bilinear sampling for structured points -> [N, R, S, C].
 
@@ -245,6 +249,7 @@ def sample_planes_windowed_pallas(
                 H=H,
                 W=W,
                 exact=exact and payload_dtype == jnp.float32,
+                interpret=interpret,
             )
         )
     out = jnp.stack(outs)  # [N, T*S_groups, P*s_group, C]

@@ -207,11 +207,15 @@ class ImportanceRenderer:
         # bf16 payload for the patch gather halves the per-point HBM segments;
         # enabled with the bf16 fast path (same error class as the bf16 coarse
         # kernel), opt out with options['bf16_gather']=False
+        # options['pallas_interpret'] routes the Pallas kernels through the TPU
+        # interpret mode (CPU emulation of the grid walk + DMAs) — regression
+        # coverage for the shipped fast path without hardware (VERDICT r2 #2)
+        _interp = bool(options.get("pallas_interpret", False))
         _bf16_gather = (
             options.get("pallas_coarse", False)
             and not options.get("pallas_exact", False)
             and options.get("bf16_gather", True)
-            and jax.devices()[0].platform == "tpu"
+            and (jax.devices()[0].platform == "tpu" or _interp)
         )
         if fast:
             src = planes_flat.astype(jnp.bfloat16) if _bf16_gather else planes_flat
@@ -230,8 +234,8 @@ class ImportanceRenderer:
         # under XLA (per-s lax.map + regrouping transposes dominate); it maps
         # naturally onto a Pallas kernel (block DMA + MXU contraction) and is
         # kept behind options['windowed_coarse'] for that follow-up.
-        _pallas_on = (
-            options.get("pallas_coarse", False) and jax.devices()[0].platform == "tpu"
+        _pallas_on = options.get("pallas_coarse", False) and (
+            jax.devices()[0].platform == "tpu" or _interp
         )
         windowed_ok = (
             fast
@@ -265,7 +269,7 @@ class ImportanceRenderer:
                 out = sample_planes_windowed_pallas(
                     planes_flat, proj, res=res, tile=tile, window=window,
                     payload_dtype=jnp.float32 if exact else jnp.bfloat16,
-                    exact=exact,
+                    exact=exact, interpret=_interp,
                 )
             else:
                 out = sample_planes_coarse_windowed(
@@ -291,7 +295,8 @@ class ImportanceRenderer:
             proj = proj.reshape(Bp, n_planes, R, n, 2)
             outs = [
                 fused_render_pallas(
-                    planes[b], proj[b], decoder_params, res=res, tile=tile, window=window
+                    planes[b], proj[b], decoder_params, res=res, tile=tile,
+                    window=window, interpret=_interp,
                 )
                 for b in range(Bp)
             ]
@@ -449,6 +454,7 @@ class ImportanceRenderer:
             raw = fused_render_pallas(
                 planes[b], proj_c, decoder_params, res=res, tile=tile,
                 window=window, return_raw=True,
+                interpret=bool(options.get("pallas_interpret", False)),
             )  # [T*S, P, O]
             sigma = jnp.transpose(raw[:, :, 0].reshape(T, S, -1), (0, 2, 1))  # [T, P, S]
             # per-ray march weights from densities alone (ray_marcher.py:30-43)
@@ -480,6 +486,7 @@ class ImportanceRenderer:
             rgb, dep, ws = fused_merged_march_pallas(
                 planes[b], proj_m, is_fine, src, d_m, raw, decoder_params,
                 res=res, S=S, tile=tile, window=window,
+                interpret=bool(options.get("pallas_interpret", False)),
             )
             rgbs.append(rgb)
             deps.append(dep)

@@ -31,3 +31,11 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-minute compile-heavy tests (deselect with -m 'not slow')"
     )
+    config.addinivalue_line(
+        "markers", "tpu: requires real TPU hardware (skips on the CPU mesh)"
+    )
+    config.addinivalue_line(
+        "markers",
+        "smoke: <5-min tier on a 1-core host — pure-math + fixture-driven tests, "
+        "no live torch oracles, no multi-minute compiles (run: pytest -m smoke)",
+    )

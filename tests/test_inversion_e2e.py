@@ -3,7 +3,6 @@
 import os
 import pickle
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -14,12 +13,9 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference repo n
 if os.path.isdir(REF) and REF not in sys.path:
     sys.path.insert(0, REF)
 
-for mod in ("torchvision", "torchvision.transforms", "turtle"):
-    if mod not in sys.modules:
-        stub = types.ModuleType(mod)
-        if mod == "turtle":
-            stub.update = None
-        sys.modules[mod] = stub
+from tests.oracle_utils import stub_reference_modules
+
+stub_reference_modules()
 
 import torch  # noqa: E402
 import jax  # noqa: E402

@@ -1,0 +1,207 @@
+"""Regression coverage for the shipped Pallas fast path (VERDICT r2 #2).
+
+The flagship default routes rendering through three Pallas TPU kernels
+(`pallas_plane_sample.sample_planes_windowed_pallas`,
+`pallas_fused_render.fused_render_pallas`, `fused_merged_march_pallas`); all
+pytest runs are pinned to the CPU mesh, so without these tests the suite
+silently exercises only the exact XLA fallback. Here the kernels run in TPU
+INTERPRET mode (pltpu.InterpretParams: CPU emulation of the grid walk, DMAs
+and semaphores) against the exact XLA oracles. Error budgets mirror
+docs/PERF_NOTES.md: the fast path is bf16-payload (≈1e-2 feature error,
+≤3.7e-3 rgb at flagship geometry); the f32/exact mode must match to ~1e-4.
+
+A TPU-marked companion (test_pallas_tpu_real) runs the REAL kernels when the
+suite executes on hardware; on the CPU mesh it skips.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from invertavatar_tpu.ops.grid_sample import grid_sample
+from invertavatar_tpu.ops.pallas_plane_sample import sample_planes_windowed_pallas
+from invertavatar_tpu.render.renderer import ImportanceRenderer
+from invertavatar_tpu.render.ray_sampler import sample_rays
+
+
+def _structured_grid(rng, N, res, S, spread=0.08, scale=1.1):
+    """Tile-coherent sampling grid like the real coarse pass (rays of a tile
+    diverge little; strata drift a few texels)."""
+    ys, xs = np.mgrid[0:res, 0:res].astype(np.float32) / res
+    base = np.stack([xs * 2 - 1, ys * 2 - 1], -1).reshape(res * res, 2)
+    offs = (rng.rand(res * res, S, 2) - 0.5) * spread
+    grid_np = np.clip(base[:, None, :] * scale + offs, -1.15, 1.15).astype(np.float32)
+    return jnp.asarray(np.broadcast_to(grid_np[None], (N, res * res, S, 2)).copy())
+
+
+def test_windowed_pallas_interpret_exact_matches_grid_sample():
+    """f32/exact kernel ≡ grid_sample (zeros-padding) to 1e-4."""
+    rng = np.random.RandomState(1)
+    N, H, C = 3, 64, 8
+    res, S, tile = 32, 4, 8
+    planes = jnp.asarray(rng.randn(N, H, H, C).astype(np.float32))
+    grid = _structured_grid(rng, N, res, S)
+
+    ref = grid_sample(planes, grid.reshape(N, -1, 2)).reshape(N, res * res, S, C)
+    out = sample_planes_windowed_pallas(
+        planes, grid, res=res, tile=tile, window=32,
+        payload_dtype=jnp.float32, exact=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_windowed_pallas_interpret_bf16_error_band():
+    """bf16 payload: the shipped fast-path config stays within ~1e-2 feature
+    error (PERF_NOTES error class)."""
+    rng = np.random.RandomState(2)
+    N, H, C = 3, 64, 8
+    res, S, tile = 32, 4, 8
+    planes = jnp.asarray(rng.randn(N, H, H, C).astype(np.float32))
+    grid = _structured_grid(rng, N, res, S)
+
+    ref = grid_sample(planes, grid.reshape(N, -1, 2)).reshape(N, res * res, S, C)
+    out = sample_planes_windowed_pallas(
+        planes, grid, res=res, tile=tile, window=32,
+        payload_dtype=jnp.bfloat16, exact=False, interpret=True,
+    )
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+    assert err.max() < 5e-2, err.max()
+    assert err.mean() < 5e-3, err.mean()
+
+
+def _decoder_params(rng, C=8, HID=16, OUT=8):
+    w1 = jnp.asarray(rng.randn(C, HID).astype(np.float32) * 0.3)
+    b1 = jnp.asarray(rng.randn(HID).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(HID, 1 + OUT).astype(np.float32) * 0.3)
+    b2 = jnp.asarray(rng.randn(1 + OUT).astype(np.float32) * 0.1)
+    return (w1, b1, w2, b2)
+
+
+def _osg_oracle(feats_mean, params):
+    """XLA oracle for the in-kernel decoder (triplane_v20.py:426-438 math)."""
+    w1, b1, w2, b2 = params
+    h = jax.nn.softplus(feats_mean @ w1 + b1[None])
+    o = h @ w2 + b2[None]
+    sigma = o[..., 0:1]
+    rgb = jax.nn.sigmoid(o[..., 1:]) * (1 + 2 * 0.001) - 0.001
+    return rgb, sigma
+
+
+def test_fused_render_interpret_matches_xla_oracle():
+    """fused sampling+decoder kernel vs grid_sample → OSG MLP oracle."""
+    rng = np.random.RandomState(3)
+    N, H, C = 3, 64, 8
+    res, S, tile = 32, 4, 8
+    planes = jnp.asarray(rng.randn(N, H, H, C).astype(np.float32))
+    grid = _structured_grid(rng, N, res, S)
+    params = _decoder_params(rng, C=C)
+
+    from invertavatar_tpu.ops.pallas_fused_render import fused_render_pallas
+
+    feats = grid_sample(planes, grid.reshape(N, -1, 2)).reshape(N, res * res, S, C)
+    rgb_ref, sigma_ref = _osg_oracle(jnp.mean(feats, axis=0), params)
+
+    rgb, sigma = fused_render_pallas(
+        planes, grid, params, res=res, tile=tile, window=32, interpret=True,
+    )
+    # bf16 payload fast path: feature error ~1e-2 → post-decoder budgets
+    assert np.abs(np.asarray(rgb) - np.asarray(rgb_ref)).max() < 2e-2
+    assert np.abs(np.asarray(sigma) - np.asarray(sigma_ref)).max() < 1e-1
+    # f32 payload tightens to near-exact (decoder runs fp32 in-kernel)
+    rgb32, sigma32 = fused_render_pallas(
+        planes, grid, params, res=res, tile=tile, window=32,
+        payload_dtype=jnp.float32, interpret=True,
+    )
+    assert np.abs(np.asarray(rgb32) - np.asarray(rgb_ref)).max() < 1e-3
+    assert np.abs(np.asarray(sigma32) - np.asarray(sigma_ref)).max() < 1e-2
+
+
+def _renderer_setup(rng, res=32, C=8, planeH=64):
+    planes = jnp.asarray(rng.randn(1, 3, planeH, planeH, C).astype(np.float32) * 0.5)
+    params = _decoder_params(rng, C=C)
+
+    def decoder(feats):  # [B, 3, M, C] -> dict (exact fallback path)
+        x = jnp.mean(feats.astype(jnp.float32), axis=1)
+        rgb, sigma = _osg_oracle(x, params)
+        return {"rgb": rgb, "sigma": sigma}
+
+    from invertavatar_tpu.camera import fov_to_intrinsics, lookat_camera_pose
+
+    c2w = np.asarray(lookat_camera_pose(None, np.pi / 2, np.pi / 2, jnp.zeros(3),
+                                        radius=2.7, batch_size=1))
+    K = np.tile(np.asarray(fov_to_intrinsics(18.837))[None], (1, 1, 1))
+    ro, rd = sample_rays(jnp.asarray(c2w, jnp.float32), jnp.asarray(K, jnp.float32), res)
+    opts = {
+        "depth_resolution": 8,
+        "depth_resolution_importance": 8,
+        "box_warp": 1.0,
+        "clamp_mode": "softplus",
+        "disparity_space_sampling": False,
+        "det_stratified": True,
+        "pooled_importance": True,
+        "coarse_window": 32,
+    }
+    return planes, decoder, params, ro, rd, opts
+
+
+def test_renderer_fused_march_interpret_vs_exact():
+    """Full flagship fast path (pallas_coarse + fused_render + march_in_kernel)
+    in interpret mode vs the exact XLA pooled path — the end-to-end regression
+    gate for the 559-line merged-march kernel."""
+    rng = np.random.RandomState(4)
+    planes, decoder, params, ro, rd, opts = _renderer_setup(rng)
+    r = ImportanceRenderer()
+
+    rgb_ref, dep_ref, ws_ref = r(planes, decoder, ro, rd, dict(opts), evaluation=True)
+
+    fast_opts = dict(
+        opts, pallas_coarse=True, fused_render=True, march_in_kernel=True,
+        pallas_interpret=True,
+    )
+    rgb, dep, ws = r(planes, decoder, ro, rd, fast_opts, evaluation=True,
+                     decoder_params=params)
+    rgb_err = np.abs(np.asarray(rgb) - np.asarray(rgb_ref))
+    assert rgb_err.max() < 5e-2, rgb_err.max()
+    assert rgb_err.mean() < 5e-3, rgb_err.mean()
+    assert np.abs(np.asarray(dep) - np.asarray(dep_ref)).max() < 5e-2
+    assert np.abs(np.asarray(ws) - np.asarray(ws_ref)).max() < 5e-2
+
+
+def test_renderer_pallas_coarse_interpret_vs_exact():
+    """pallas_coarse WITHOUT the merged march (the non-pooled routing):
+    exercises sample_planes_windowed_pallas + fused_render inside the
+    standard two-pass renderer."""
+    rng = np.random.RandomState(5)
+    planes, decoder, params, ro, rd, opts = _renderer_setup(rng)
+    r = ImportanceRenderer()
+
+    rgb_ref, dep_ref, ws_ref = r(planes, decoder, ro, rd, dict(opts), evaluation=True)
+
+    fast_opts = dict(
+        opts, pallas_coarse=True, fused_render=True, march_in_kernel=False,
+        pallas_interpret=True,
+    )
+    rgb, dep, ws = r(planes, decoder, ro, rd, fast_opts, evaluation=True,
+                     decoder_params=params)
+    assert np.abs(np.asarray(rgb) - np.asarray(rgb_ref)).max() < 5e-2
+    assert np.abs(np.asarray(dep) - np.asarray(dep_ref)).max() < 5e-2
+    assert np.abs(np.asarray(ws) - np.asarray(ws_ref)).max() < 5e-2
+
+
+@pytest.mark.tpu
+def test_pallas_tpu_real_kernels():
+    """Real-hardware kernel check (runs only when the suite executes on TPU;
+    the CPU-mesh conftest skips it). Asserts the PERF_NOTES error bounds on
+    the actual Mosaic-compiled kernels."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("requires TPU hardware")
+    rng = np.random.RandomState(6)
+    planes, decoder, params, ro, rd, opts = _renderer_setup(rng)
+    r = ImportanceRenderer()
+    rgb_ref, dep_ref, ws_ref = r(planes, decoder, ro, rd, dict(opts), evaluation=True)
+    fast_opts = dict(opts, pallas_coarse=True, fused_render=True, march_in_kernel=True)
+    rgb, dep, ws = r(planes, decoder, ro, rd, fast_opts, evaluation=True,
+                     decoder_params=params)
+    assert np.abs(np.asarray(rgb) - np.asarray(rgb_ref)).max() < 5e-2
+    assert np.abs(np.asarray(dep) - np.asarray(dep_ref)).max() < 5e-2

@@ -8,7 +8,6 @@ still exercised. Stratified jitter is pinned on both sides.
 
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -21,14 +20,9 @@ if os.path.isdir(REF) and REF not in sys.path:
 
 # triplane_v20 imports torchvision (only used in visualize_mesh_condition) and
 # `from turtle import update` (stray dead import) — stub both.
-for mod in ("torchvision", "torchvision.transforms", "turtle"):
-    if mod not in sys.modules:
-        stub = types.ModuleType(mod)
-        if mod == "turtle":
-            stub.update = None
-        if mod == "torchvision":
-            stub.transforms = types.ModuleType("torchvision.transforms")
-        sys.modules[mod] = stub
+from tests.oracle_utils import stub_reference_modules
+
+stub_reference_modules()
 
 import torch  # noqa: E402
 import jax  # noqa: E402
