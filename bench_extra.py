@@ -1,63 +1,94 @@
-"""Extended benchmarks: the four BASELINE.json configs beyond bench.py's
-single-avatar reenact, plus the full online-driving loop (VERDICT r2 #3).
+"""Benchmarks for the remaining BASELINE.json configs (VERDICT r2 #3).
 
-Each config prints ONE JSON line in bench.py's shape
-({"metric","value","unit","vs_baseline"}); the full set is also written to
-docs/BENCH_EXTRA.json.  Reference loops being measured:
+Four measurements beyond bench.py's cached-uvcoords reenact loop:
 
-  reenact_online_512_fps    reenact incl. per-frame FaceVerse raster
-                            (reenact_avatar_next3d.py:209 make_driven_rendering
-                            + :214 G.synthesis per frame)
-  fewshot_ar8_update_s      few-shot avatar update over an 8-frame clip in
-                            4-frame ConvGRU chunks (eval_seq.py:173-190)
-  oneshot_invert_s          one-shot inversion forward (eval_updated_os.py:
-                            87-226 single G(...) with SegFormer decoders)
-  reenact_batch10_fps       batched 5x2 multi-identity reenact (BASELINE
-                            config 4), aggregate frames/sec/chip
+  online   512² reenactment INCLUDING the per-frame FaceVerse driving raster
+           (reference reenact_avatar_next3d.py:209 / eval_seq.py:203-219:
+           make_driven_rendering per frame — mesh raster → crop → binarize).
+           The coefficient math + raster + render compile into ONE jitted
+           program per frame (no eager relay round-trips), on a synthetic
+           head mesh at real FaceVerse scale (~30k verts / ~59k faces).
+  fewshot  few-shot avatar absorption: ConvGRU ar_forward over an 8-frame
+           source clip in 2 chunks of 4 (reference eval_seq.py:173-190),
+           flagship generator geometry. Metric: source frames absorbed/sec.
+  oneshot  one-shot inversion latency: e4e W+ encode + SegFormer U-Net
+           offsets + SFT backbone (reference eval_updated_os.py:87-226),
+           then the reenact drive runs at bench.py's fps (same program).
+  batch10  multi-identity reenactment at batch 10 (reference's 5×2 grid,
+           reenact_avatar_next3d.py seeds 100-108): aggregate frames/sec/chip.
 
-The FaceVerse assets published with the reference (faceverse_v3_1.npy) are not
-in this zero-egress image; the online-driving raster runs on synthetic assets
-at the real topology scale (~15.4k verts / ~30.3k tris — SURVEY.md §2.1
-"~30k tris, 512^2 ortho"), which is what the raster cost depends on.
+Each config prints one JSON line {"metric", "value", "unit", "vs_baseline"};
+a combined record lands in docs/BENCH_EXTRA.json. vs_baseline is fps/30 for
+the fps-shaped metrics (BASELINE.json north star) and null for latencies
+(the reference publishes no numbers for them — BASELINE.md).
 
-Usage: python bench_extra.py [online|ar8|oneshot|batch10|all]
+Usage: python bench_extra.py [online|fewshot|oneshot|batch10|all]
 """
 
 import json
 import os
+
+_repo = os.path.dirname(os.path.abspath(__file__))
+_cache_dir = os.path.join(_repo, ".jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+
 import sys
 import time
 
-_repo = os.path.dirname(os.path.abspath(__file__))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_repo, ".jax_cache"))
 sys.path.insert(0, _repo)
 
-import numpy as np
-
-BASELINE_FPS = 30.0  # BASELINE.json north-star for the reenact loops
+BASELINE_FPS = 30.0
 
 
 def _fence(x):
-    """Force completion through the axon relay (block_until_ready is a no-op
-    there — docs/PERF_NOTES.md): tiny scalar readback."""
-    np.asarray(jax.numpy.ravel(x)[:1])
+    """Scalar readback — block_until_ready is a no-op through the axon relay
+    (docs/PERF_NOTES.md), a tiny readback actually fences."""
+    import numpy as np
+
+    return np.asarray(x.ravel()[:1])
 
 
-def _synthetic_manager(n_grid: int = 124):
-    """FaceverseManager on synthetic assets at the real topology scale."""
-    from invertavatar_tpu.faceverse.synthetic import synthetic_manager
+def synthetic_head_assets(rng, n_grid: int = 173):
+    """Grid-triangulated blobby head at real-FaceVerse-v3 mesh scale
+    (~30k vertices / ~59k faces) — the raster cost driver is the face count,
+    not the shape. Same construction as tests/test_faceverse.py."""
+    import numpy as np
 
-    mgr, coeffs = synthetic_manager(n_grid)
-    return mgr, coeffs, int(np.asarray(mgr.tri).shape[0])
+    from invertavatar_tpu.faceverse.model import FaceVerseAssets
+
+    ID_D, EXP_D, TEX_D = 150, 52, 251
+    us, vs = np.meshgrid(np.linspace(0.2, 0.8, n_grid), np.linspace(0.3, 0.7, n_grid))
+    uv = np.stack([us.ravel(), vs.ravel()], -1).astype(np.float32)
+    V = uv.shape[0]
+    xy = (uv - 0.5) * 0.4
+    z = 0.1 - ((uv - 0.5) ** 2).sum(-1)
+    meanshape = np.stack([xy[:, 0], xy[:, 1], z], -1).reshape(1, -1).astype(np.float32)
+    faces = []
+    for r in range(n_grid - 1):
+        for c in range(n_grid - 1):
+            a = r * n_grid + c
+            faces.append([a, a + 1, a + n_grid])
+            faces.append([a + 1, a + n_grid + 1, a + n_grid])
+    tri = np.asarray(faces, np.int32)
+    id_base = (rng.randn(3 * V, ID_D) * 1e-3).astype(np.float32)
+    exp_base = (rng.randn(3 * V, EXP_D) * 1e-3).astype(np.float32)
+    return FaceVerseAssets(
+        meanshape=meanshape, id_base=id_base, exp_base=exp_base, uv_per_ver=uv,
+        tri=tri, ver_inds=(0, 8, 16), id_dims=ID_D, exp_dims=EXP_D, tex_dims=TEX_D,
+    )
 
 
-def _flagship_frame_fn():
-    """(frame_jit, variables, ws, tex, static, cache, c) for the drive loop."""
+def _flagship():
     from invertavatar_tpu.flagship import example_inputs, flagship_generator, init_flagship
 
     G = flagship_generator()
     variables = init_flagship(G)
-    z, c, uvc = example_inputs(1)
+    return G, variables, example_inputs
+
+
+def _avatar_feats(G, variables, z, c):
+    import jax
 
     def precompute(variables, z, c):
         def run(m, z, c):
@@ -69,198 +100,79 @@ def _flagship_frame_fn():
 
         return G.apply(variables, z, c, method=run)
 
-    ws, tex, static, cache = jax.jit(precompute)(variables, z, c)
+    return jax.jit(precompute)(variables, z, c)
 
-    def frame(variables, ws, tex, static, cache, c, uvcoords_image):
+
+def bench_online(record):
+    """Reenact with the per-frame FaceVerse raster in the loop."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from invertavatar_tpu.faceverse.manager import FaceverseManager
+
+    G, variables, example_inputs = _flagship()
+    z, c, _ = example_inputs(1)
+    ws, tex, static, cache = _avatar_feats(G, variables, z, c)
+
+    rng = np.random.RandomState(0)
+    assets = synthetic_head_assets(rng)
+    mgr = FaceverseManager(
+        assets,
+        fv2fl=np.eye(4, dtype=np.float32),
+        face_mask=np.ones(assets.uv_per_ver.shape[0], np.float32),
+    )
+    n_coeff = assets.id_dims + assets.exp_dims + assets.tex_dims + 38
+    mgr.set_identity((rng.randn(n_coeff) * 0.1).astype(np.float32))
+
+    def frame(variables, ws, tex, static, cache, c, coeff):
+        # the whole per-frame path — coefficient split/clamp, blendshape mesh,
+        # ortho raster, binarize, neural render — is ONE XLA program
+        uvc = mgr.make_driven_rendering(coeff)
         def run(m, ws, tex, static, cache, c, v):
             return m.synthesis_withTexture(
-                ws, tex, c, v, static_feats=static, noise_mode="const", evaluation=True,
-                raster_static_cache=cache,
+                ws, tex, c, v, static_feats=static, noise_mode="const",
+                evaluation=True, raster_static_cache=cache,
             )["image"]
 
         return G.apply(
-            variables, ws, tex, static, cache, c, {"uvcoords_image": uvcoords_image},
-            method=run,
+            variables, ws, tex, static, cache, c, {"uvcoords_image": uvc}, method=run
         )
 
-    return G, jax.jit(frame), variables, ws, tex, static, cache, c, uvc
+    frame_jit = jax.jit(frame)
+    coeffs = jnp.asarray((rng.randn(8, n_coeff) * 0.1).astype(np.float32))
 
-
-def bench_online(out):
-    """Reenact WITH the per-frame FaceVerse ortho raster in the loop."""
-    mgr, coeffs, n_tris = _synthetic_manager()
-    G, frame_jit, variables, ws, tex, static, cache, c, _ = _flagship_frame_fn()
-
-    uvc = mgr.make_driven_rendering(coeffs[1])
-    img = frame_jit(variables, ws, tex, static, cache, c, uvc)
-    _fence(img)  # compile both programs
-
-    # raster alone
-    n = int(os.environ.get("BENCH_FRAMES", "30"))
+    out = frame_jit(variables, ws, tex, static, cache, c, coeffs[0])
+    _fence(out)
+    n_frames = int(os.environ.get("BENCH_FRAMES", "30"))
     t0 = time.perf_counter()
-    for i in range(n):
-        uvc = mgr.make_driven_rendering(coeffs[1 + (i % 7)])
-    _fence(uvc)
-    raster_ms = (time.perf_counter() - t0) / n * 1e3
-
-    t0 = time.perf_counter()
-    for i in range(n):
-        uvc = mgr.make_driven_rendering(coeffs[1 + (i % 7)])
-        img = frame_jit(variables, ws, tex, static, cache, c, uvc)
-    _fence(img)
-    dt = time.perf_counter() - t0
-    fps = n / dt
-    rec = {
-        "metric": "reenact_online_512_fps",
-        "value": round(fps, 3),
-        "unit": "frames/sec (incl. FaceVerse raster, %d tris)" % n_tris,
+    for i in range(n_frames):
+        out = frame_jit(variables, ws, tex, static, cache, c, coeffs[i % 8])
+    _fence(out)
+    fps = n_frames / (time.perf_counter() - t0)
+    record["online"] = {
+        "metric": "reenact_512_online_driving_fps_per_chip",
+        "value": round(fps, 2), "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "raster_ms_per_frame": round(raster_ms, 3),
+        "mesh": {"verts": int(assets.uv_per_ver.shape[0]), "faces": int(assets.tri.shape[0])},
     }
-    print(json.dumps(rec), flush=True)
-    out["reenact_online"] = rec
-    return G, frame_jit, variables, c
+    return record["online"]
 
 
-def _flagship_inversion_net(unet_type: str):
-    from invertavatar_tpu.flagship import FLAGSHIP_RENDERING_KWARGS
-    from invertavatar_tpu.models.encoders.uvnet import InversionNet
+def bench_batch10(record):
+    """Aggregate throughput at batch 10 (5×2 grid multi-identity)."""
+    import jax
 
-    rk = dict(FLAGSHIP_RENDERING_KWARGS)
-    gen_cfg = dict(
-        z_dim=512, c_dim=25, w_dim=512, img_resolution=512, img_channels=3,
-        rendering_kwargs=rk, neural_rendering_resolution=128,
-        channel_base=32768, channel_max=512, map_num_layers=2,
-    )
-    net = InversionNet(generator_cfg=gen_cfg, unet_type=unet_type)
-    rng = jax.random.PRNGKey(0)
-    rngs = {"params": rng, "buffers": jax.random.fold_in(rng, 1),
-            "noise": jax.random.fold_in(rng, 2), "ray": jax.random.fold_in(rng, 3)}
-    img = jnp.zeros((1, 512, 512, 3), jnp.float32)
-    c = jnp.zeros((1, 25), jnp.float32).at[0, :16].set(jnp.eye(4).reshape(-1)).at[0, 16:].set(
-        jnp.asarray([4.26, 0, 0.5, 0, 4.26, 0.5, 0, 0, 1.0])
-    )
-    v = {"uvcoords_image": jnp.zeros((1, 256, 256, 3), jnp.float32)}
-    uv = jnp.zeros((1, 256, 256, 6), jnp.float32)
-    t0 = time.time()
-    from invertavatar_tpu.flagship import init_by_shape
-
-    variables = init_by_shape(lambda: net.init(rngs, {"image": img, "uv": uv}, c, v))
-    return net, variables, time.time() - t0, (img, c, v, uv)
-
-
-def bench_ar8(out):
-    """Few-shot incremental inversion: 8 frames in two 4-frame GRU chunks."""
-    net, variables, init_s, (img, c, v, uv) = _flagship_inversion_net("gru")
-    T = 4
-
-    @jax.jit
-    def encode_and_feats(variables, img):
-        def run(m, x):
-            ws = m.encode(x)
-            tex = m.generator.texture_backbone.synthesis(ws, return_list=True, noise_mode="const")
-            static = m.generator.backbone.synthesis(ws, return_list=True, noise_mode="const")
-            return {"w": ws, "texture": tex, "static": static}
-
-        return net.apply(variables, img, method=run)
-
-    @jax.jit
-    def ar_chunk(variables, x, cT, vT, ws, r_list, e4e_results):
-        def run(m, x, cT, vT, ws, r_list, e4e_results):
-            return m.ar_forward(x, cT, vT, ws, r_list, e4e_results)
-
-        return net.apply(variables, x, cT, vT, ws, r_list, e4e_results, method=run)
-
-    imgT = jnp.tile(img[:, None], (1, T, 1, 1, 1)).reshape(T, 512, 512, 3)
-    imgT256 = jax.image.resize(imgT, (T, 256, 256, 3), "bilinear")
-    uvT = jnp.tile(uv, (T, 1, 1, 1))
-    cT = jnp.tile(c, (T, 1))
-    vT = {"uvcoords_image": jnp.tile(v["uvcoords_image"], (T, 1, 1, 1))}
-
-    e4e = encode_and_feats(variables, img)
-    ws = e4e["w"]
-    x = {"image": imgT256, "uv": uvT}
-    res, r_list = ar_chunk(variables, x, cT, vT, ws, [None, None], e4e)
-    res2, r2 = ar_chunk(variables, x, cT, vT, ws, r_list, res)
-    _fence(res2["texture"][0])  # compile (both r_list structures)
-
-    reps = int(os.environ.get("BENCH_AR_REPS", "5"))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        e4e = encode_and_feats(variables, img)
-        res, r_list = ar_chunk(variables, x, cT, vT, e4e["w"], [None, None], e4e)
-        res, r_list = ar_chunk(variables, x, cT, vT, e4e["w"], r_list, res)
-    _fence(res["texture"][0])
-    upd_s = (time.perf_counter() - t0) / reps
-    rec = {
-        "metric": "fewshot_ar8_update_s",
-        "value": round(upd_s, 4),
-        "unit": "sec per 8-frame avatar update (encode + 2x ConvGRU chunks)",
-        "vs_baseline": None,
-        "init_s": round(init_s, 1),
-    }
-    print(json.dumps(rec), flush=True)
-    out["fewshot_ar8"] = rec
-
-
-def bench_oneshot(out):
-    """One-shot inversion forward (SegFormer decoders) -> updated features."""
-    net, variables, init_s, (img, c, v, uv) = _flagship_inversion_net("segformer")
-
-    @jax.jit
-    def invert(variables, img, c, v, uv):
-        def run(m, x, c, v):
-            return m(x, c, v, return_feats=True)
-
-        out = net.apply(variables, {"image": img, "uv": uv}, c, v, method=run)
-        return out["w"], out["texture"], out["static"]
-
-    ws, tex, static = invert(variables, img, c, v, uv)
-    _fence(ws)
-    reps = int(os.environ.get("BENCH_OS_REPS", "5"))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        ws, tex, static = invert(variables, img, c, v, uv)
-    _fence(ws)
-    inv_s = (time.perf_counter() - t0) / reps
-    rec = {
-        "metric": "oneshot_invert_s",
-        "value": round(inv_s, 4),
-        "unit": "sec per one-shot inversion (512^2 source -> avatar features)",
-        "vs_baseline": None,
-        "init_s": round(init_s, 1),
-        "note": "subsequent reenact fps == reenact_online_512_fps (same drive loop)",
-    }
-    print(json.dumps(rec), flush=True)
-    out["oneshot_invert"] = rec
-
-
-def bench_batch10(out):
-    """Batched 5x2 multi-identity reenact (BASELINE config 4)."""
-    from invertavatar_tpu.flagship import example_inputs, flagship_generator, init_flagship
-
+    G, variables, example_inputs = _flagship()
     B = 10
-    G = flagship_generator()
-    variables = init_flagship(G)
     z, c, uvc = example_inputs(B)
-
-    def precompute(variables, z, c):
-        def run(m, z, c):
-            ws = m.mapping(z, c)
-            tex = m.texture_backbone.synthesis(ws, return_list=True, noise_mode="const")
-            static = m.backbone.synthesis(ws, return_list=True, noise_mode="const")
-            cache = m.precompute_raster_static(static)
-            return ws, tex, static, cache
-
-        return G.apply(variables, z, c, method=run)
-
-    ws, tex, static, cache = jax.jit(precompute)(variables, z, c)
+    ws, tex, static, cache = _avatar_feats(G, variables, z, c)
 
     def frame(variables, ws, tex, static, cache, c, uvcoords_image):
         def run(m, ws, tex, static, cache, c, v):
             return m.synthesis_withTexture(
-                ws, tex, c, v, static_feats=static, noise_mode="const", evaluation=True,
-                raster_static_cache=cache,
+                ws, tex, c, v, static_feats=static, noise_mode="const",
+                evaluation=True, raster_static_cache=cache,
             )["image"]
 
         return G.apply(
@@ -269,49 +181,198 @@ def bench_batch10(out):
         )
 
     frame_jit = jax.jit(frame)
-    img = frame_jit(variables, ws, tex, static, cache, c, uvc)
-    _fence(img)
-    n = int(os.environ.get("BENCH_FRAMES", "20"))
+    out = frame_jit(variables, ws, tex, static, cache, c, uvc)
+    _fence(out)
+    n_frames = int(os.environ.get("BENCH_FRAMES", "20"))
     t0 = time.perf_counter()
-    for _ in range(n):
-        img = frame_jit(variables, ws, tex, static, cache, c, uvc)
-    _fence(img)
-    dt = time.perf_counter() - t0
-    fps = n * B / dt
-    rec = {
-        "metric": "reenact_batch10_fps",
-        "value": round(fps, 3),
-        "unit": "aggregate frames/sec/chip at batch 10 (5x2 grid)",
+    for _ in range(n_frames):
+        out = frame_jit(variables, ws, tex, static, cache, c, uvc)
+    _fence(out)
+    fps = B * n_frames / (time.perf_counter() - t0)
+    record["batch10"] = {
+        "metric": "reenact_512_batch10_fps_per_chip",
+        "value": round(fps, 2), "unit": "frames/sec/chip (aggregate, 10 identities)",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "steps_per_sec": round(n / dt, 3),
     }
-    print(json.dumps(rec), flush=True)
-    out["reenact_batch10"] = rec
+    return record["batch10"]
 
 
-def main():
-    global jax, jnp
+def _inversion_net(unet_type: str):
+    """Flagship-scale InversionNet with shape-traced random init."""
+    import jax
+    import numpy as np
+
+    from invertavatar_tpu.flagship import init_by_shape
+    from invertavatar_tpu.models.encoders.uvnet import InversionNet
+    from invertavatar_tpu.train.dryrun import _fake_batch
+
+    gen_cfg = dict(
+        z_dim=512, c_dim=25, w_dim=512, img_resolution=512, img_channels=3,
+        rendering_kwargs={
+            "image_resolution": 512, "disparity_space_sampling": False,
+            "clamp_mode": "softplus",
+            "superresolution_module":
+                "invertavatar_tpu.models.superresolution.SuperresolutionHybrid8XDC",
+            "c_gen_conditioning_zero": True, "c_scale": 1.0,
+            "superresolution_noise_mode": "none", "density_reg": 0.25,
+            "density_reg_p_dist": 0.004, "reg_type": "l1", "decoder_lr_mul": 1.0,
+            "sr_antialias": True, "depth_resolution": 48,
+            "depth_resolution_importance": 48, "ray_start": 2.25, "ray_end": 3.3,
+            "box_warp": 1.0, "det_stratified": True,
+            "pallas_coarse": True, "pooled_importance": True, "fast_uv_warp": True,
+        },
+        neural_rendering_resolution=128, channel_base=32768, channel_max=512,
+        map_num_layers=2,
+    )
+    net = InversionNet(generator_cfg=gen_cfg, unet_type=unet_type)
+    rng = jax.random.PRNGKey(0)
+    rngs = {"params": rng, "buffers": jax.random.fold_in(rng, 1),
+            "noise": jax.random.fold_in(rng, 2), "ray": jax.random.fold_in(rng, 3)}
+    raw = _fake_batch(np.random.RandomState(0), batch=1, res=512, z_dim=512)
+    import jax.numpy as jnp
+
+    img = jnp.asarray(raw["image"])
+    c = jnp.asarray(raw["c"])
+    uvc = jnp.asarray(raw["v"]["uvcoords_image"])
+    uv = jnp.zeros((1, 256, 256, 6), jnp.float32)
+    variables = init_by_shape(
+        lambda: net.init(
+            rngs, {"image": img, "uv": uv}, c, {"uvcoords_image": uvc},
+            method=lambda m, x, cc, v: m(x, cc, v, return_feats=True),
+        )
+    )
+    return net, variables, (img, c, uvc, uv)
+
+
+def bench_fewshot(record):
+    """8-frame ConvGRU avatar absorption (eval_seq.py:173-190), 2 chunks of 4."""
     import jax
     import jax.numpy as jnp
 
+    net, variables, (img, c, uvc, uv) = _inversion_net("gru")
+    T = 4
+    images = jnp.repeat(img, T, axis=0)
+    uvs = jnp.repeat(uv, T, axis=0)
+    cs = jnp.repeat(c, T, axis=0)
+    uvcs = jnp.repeat(uvc, T, axis=0)
+
+    @jax.jit
+    def encode_first(variables, img):
+        return net.apply(variables, img, method=lambda m, x: m.encode(x))
+
+    @jax.jit
+    def init_feats(variables, ws):
+        def run(m, ws):
+            tex = m.generator.texture_backbone.synthesis(ws, return_list=True, noise_mode="const")
+            static = m.generator.backbone.synthesis(ws, return_list=True, noise_mode="const")
+            return tex, static
+
+        return net.apply(variables, ws, method=run)
+
+    def ar0(variables, images, uvs, cs, uvcs, ws, tex, static):
+        def run(m, images, uvs, cs, uvcs, ws, tex, static):
+            return m.ar_forward(
+                {"image": images, "uv": uvs}, cs, {"uvcoords_image": uvcs}, ws,
+                [None, None], e4e_results={"texture": tex, "static": static},
+            )
+
+        return net.apply(variables, images, uvs, cs, uvcs, ws, tex, static, method=run)
+
+    def ar(variables, images, uvs, cs, uvcs, ws, tex, static, r_tex, r_tri):
+        def run(m, images, uvs, cs, uvcs, ws, tex, static, r_tex, r_tri):
+            return m.ar_forward(
+                {"image": images, "uv": uvs}, cs, {"uvcoords_image": uvcs}, ws,
+                [r_tex, r_tri], e4e_results={"texture": tex, "static": static},
+            )
+
+        return net.apply(
+            variables, images, uvs, cs, uvcs, ws, tex, static, r_tex, r_tri, method=run
+        )
+
+    ar0_jit, ar_jit = jax.jit(ar0), jax.jit(ar)
+
+    def absorb():
+        ws = encode_first(variables, img)
+        tex, static = init_feats(variables, ws)
+        updated, (r_tex, r_tri) = ar0_jit(variables, images, uvs, cs, uvcs, ws, tex, static)
+        updated, (r_tex, r_tri) = ar_jit(
+            variables, images, uvs, cs, uvcs, ws,
+            updated["texture"], updated["static"], r_tex, r_tri,
+        )
+        return updated
+
+    updated = absorb()  # compile
+    _fence(updated["texture"][0])
+    n_rep = int(os.environ.get("BENCH_FEWSHOT_REPS", "5"))
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        updated = absorb()
+    _fence(updated["texture"][0])
+    dt = (time.perf_counter() - t0) / n_rep
+    record["fewshot"] = {
+        "metric": "fewshot_absorb_8frames_sec",
+        "value": round(dt, 3), "unit": "sec (e4e encode + 2×4-frame ConvGRU chunks)",
+        "vs_baseline": None,
+        "absorb_fps": round(8 / dt, 2),
+    }
+    return record["fewshot"]
+
+
+def bench_oneshot(record):
+    """One-shot inversion latency (eval_updated_os.py:87-226 invert step)."""
+    import jax
+
+    net, variables, (img, c, uvc, uv) = _inversion_net("segformer")
+
+    @jax.jit
+    def invert(variables, img, c, uv, uvc):
+        def run(m, img, cc, uv, uvc):
+            return m({"image": img, "uv": uv}, cc, {"uvcoords_image": uvc}, return_feats=True)
+
+        return net.apply(variables, img, c, uv, uvc, method=run)
+
+    out = invert(variables, img, c, uv, uvc)  # compile
+    _fence(out["texture"][0])
+    n_rep = int(os.environ.get("BENCH_ONESHOT_REPS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = invert(variables, img, c, uv, uvc)
+    _fence(out["texture"][0])
+    dt = (time.perf_counter() - t0) / n_rep
+    record["oneshot"] = {
+        "metric": "oneshot_invert_sec",
+        "value": round(dt, 3),
+        "unit": "sec (e4e W+ + SegFormer U-Nets + SFT backbone; drive loop = bench.py fps)",
+        "vs_baseline": None,
+    }
+    return record["oneshot"]
+
+
+BENCHES = {
+    "online": bench_online,
+    "fewshot": bench_fewshot,
+    "oneshot": bench_oneshot,
+    "batch10": bench_batch10,
+}
+
+
+def main():
+    import jax
+
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    out = {"device_kind": jax.devices()[0].device_kind}
-    if which in ("all", "online"):
-        bench_online(out)
-    if which in ("all", "batch10"):
-        bench_batch10(out)
-    if which in ("all", "ar8"):
-        bench_ar8(out)
-    if which in ("all", "oneshot"):
-        bench_oneshot(out)
+    names = list(BENCHES) if which == "all" else [which]
     path = os.path.join(_repo, "docs", "BENCH_EXTRA.json")
-    prev = {}
+    record = {}
     if os.path.exists(path):
         with open(path) as f:
-            prev = json.load(f)
-    prev.update(out)
-    with open(path, "w") as f:
-        json.dump(prev, f, indent=2)
+            record = json.load(f)
+    record["device"] = jax.devices()[0].device_kind
+    for name in names:
+        rec = BENCHES[name](record)
+        print(json.dumps({k: rec[k] for k in ("metric", "value", "unit", "vs_baseline")}),
+              flush=True)
+        with open(path, "w") as f:
+            json.dump(record, f, indent=2)
     print("wrote", path, flush=True)
 
 

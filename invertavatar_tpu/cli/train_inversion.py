@@ -20,10 +20,13 @@ def main(argv=None):
     p.add_argument("--training_state", choices=["e4e", "oneshot", "fewshot"], default="e4e")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--frm_per_vid", type=int, default=4)
+    p.add_argument("--res", type=int, default=512, help="training image resolution")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--kimg", type=int, default=5000)
     p.add_argument("--snap_ticks", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="stop after N optimizer steps (smoke/CI runs)")
     p.add_argument("--lpips_weights", default=None, help="converted LPIPS weights (orbax)")
     p.add_argument("--irse50", default=None, help="ArcFace ir_se50 torch checkpoint for ID loss")
     p.add_argument("--dry-run", action="store_true")
@@ -36,7 +39,7 @@ def main(argv=None):
 
     from ..data.dataset import AvatarDataset, InfiniteSampler, VideoDataset, normalize_image, prefetch_batches
     from ..models.encoders.e4e import LatentCodesDiscriminator
-    from ..models.encoders.uvnet import InversionNet
+    from ..models.encoders.uvnet import InversionNet, texture_out_channels_for
     from ..train.inversion import InversionLossWeights
     from ..train.loop_inversion import (
         e4e_trainable,
@@ -62,20 +65,26 @@ def main(argv=None):
         conv_clamp=G.conv_clamp, map_num_layers=G.map_num_layers,
     )
     unet_type = "segformer" if args.training_state == "oneshot" else "gru"
-    net = InversionNet(generator_cfg=gen_cfg, unet_type=unet_type)
+    net = InversionNet(
+        generator_cfg=gen_cfg, unet_type=unet_type,
+        texture_out_channels=texture_out_channels_for(G.channel_base, G.channel_max),
+    )
 
     rng = jax.random.PRNGKey(args.seed)
-    # init net with the frozen generator weights grafted in
+    # init the FULL net (encoder + U-Nets + generator) via the single-frame
+    # forward, then graft the frozen generator weights from the pkl in
+    rngs = {"params": rng, "buffers": jax.random.fold_in(rng, 1),
+            "noise": jax.random.fold_in(rng, 2), "ray": jax.random.fold_in(rng, 3)}
     dummy = {
         "image": jnp.zeros((1, 256, 256, 3)),
         "uv": jnp.zeros((1, 256, 256, 6)),
     }
-    c0 = jnp.zeros((1, 25 + 0), jnp.float32).at[0, :16].set(jnp.eye(4).reshape(-1))
+    c0 = jnp.zeros((1, G.c_dim), jnp.float32).at[0, :16].set(jnp.eye(4).reshape(-1))
     v0 = {"uvcoords_image": jnp.zeros((1, 256, 256, 3))}
-    variables = net.init(
-        {"params": rng, "buffers": rng, "noise": rng, "ray": rng},
-        dummy["image"], method=lambda m, x: m.encode(x),
-    )
+    if args.training_state == "e4e":
+        variables = net.init(rngs, dummy["image"], method=lambda m, x: m.encode(x))
+    else:
+        variables = net.init(rngs, dummy, c0, v0)
     params = dict(variables["params"])
     params["generator"] = g_vars["params"]
     buffers = dict(variables.get("buffers", {}))
@@ -116,12 +125,17 @@ def main(argv=None):
         lr=args.lr, snapshot_ticks=args.snap_ticks, seed=args.seed,
     )
     all_vars = {"params": params, "buffers": buffers}
+    # the encoder's irse BatchNorms live in their own collection — keep them,
+    # then graft the generator's (if the pkl carried any) on top
+    batch_stats = dict(variables.get("batch_stats", {}))
     if "batch_stats" in g_vars:
-        all_vars["batch_stats"] = {"generator": g_vars["batch_stats"]}
+        batch_stats["generator"] = g_vars["batch_stats"]
+    if batch_stats:
+        all_vars["batch_stats"] = batch_stats
 
     nprng = np.random.RandomState(args.seed)
     if args.training_state == "e4e":
-        dataset = AvatarDataset(args.data, resolution=512)
+        dataset = AvatarDataset(args.data, resolution=args.res)
         sampler = InfiniteSampler(len(dataset), seed=args.seed)
 
         def collate(items):
@@ -129,17 +143,18 @@ def main(argv=None):
                 "image": np.stack([normalize_image(i["image"]) for i in items]),
                 "c": np.stack([i["c"] for i in items]),
                 "v": {"uvcoords_image": np.stack([i["uvcoords_image"] for i in items])},
-                "z": nprng.randn(len(items), 512).astype(np.float32),
+                "z": nprng.randn(len(items), G.z_dim).astype(np.float32),
             }
 
         batches = prefetch_batches(dataset, sampler, args.batch, collate=collate)
-        train_e4e(net, all_vars, LatentCodesDiscriminator(), batches, cfg, lpips_fn, id_fn)
+        train_e4e(net, all_vars, LatentCodesDiscriminator(), batches, cfg, lpips_fn, id_fn,
+                  max_steps=args.max_steps)
     elif args.training_state == "oneshot":
         # interval-phase stage (reference training_loop_unet_interval.py):
         # single-frame batches, per-unet optimizers, optional dual-D adv
         from ..models.discriminator import DualDiscriminator
 
-        dataset = AvatarDataset(args.data, resolution=512, load_uv=True)
+        dataset = AvatarDataset(args.data, resolution=args.res, load_uv=True)
         sampler = InfiniteSampler(len(dataset), seed=args.seed)
 
         def collate_os(items):
@@ -148,21 +163,24 @@ def main(argv=None):
                 "c": np.stack([i["c"] for i in items]),
                 "v": {"uvcoords_image": np.stack([i["uvcoords_image"] for i in items])},
                 "uv": np.stack([i["uv"] for i in items]),
-                "z": nprng.randn(len(items), 512).astype(np.float32),
+                "z": nprng.randn(len(items), G.z_dim).astype(np.float32),
                 "gen_uv": np.stack([i["uv"] for i in items]),
             }
 
         batches = prefetch_batches(dataset, sampler, args.batch, collate=collate_os)
         D = (
-            DualDiscriminator(c_dim=25, img_resolution=512, img_channels=6)
+            DualDiscriminator(c_dim=G.c_dim, img_resolution=G.img_resolution, img_channels=6)
             if cfg.weights.adv > 0
             else None
         )
-        train_oneshot(net, all_vars, D, batches, cfg, lpips_fn, id_fn)
+        train_oneshot(net, all_vars, D, batches, cfg, lpips_fn, id_fn, max_steps=args.max_steps)
     else:
-        dataset = VideoDataset(args.data, resolution=512, frm_per_vid=args.frm_per_vid)
+        dataset = VideoDataset(args.data, resolution=args.res, frm_per_vid=args.frm_per_vid)
 
         def clips():
+            # `z` drives the Igen phase (video_loss.py:376 samples gen_z per
+            # batch; the uv/c/v conditioning for the synthetic clip reuses the
+            # real batch's, :381-385) and gates the D phase in train_fewshot
             while True:
                 idxs = nprng.randint(dataset.num_videos, size=args.batch)
                 items = [dataset.sample_clip(int(i), nprng) for i in idxs]
@@ -171,9 +189,10 @@ def main(argv=None):
                     "c": np.stack([it["c"] for it in items]),
                     "v": {"uvcoords_image": np.stack([it["uvcoords_image"] for it in items])},
                     "uv": np.stack([it["uv"] for it in items]),
+                    "z": nprng.randn(args.batch, G.z_dim).astype(np.float32),
                 }
 
-        train_fewshot(net, all_vars, clips(), cfg, lpips_fn)
+        train_fewshot(net, all_vars, clips(), cfg, lpips_fn, max_steps=args.max_steps)
 
 
 if __name__ == "__main__":

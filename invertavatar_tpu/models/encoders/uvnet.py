@@ -27,6 +27,17 @@ from .e4e import Encoder4Editing
 from .unet_encoders import TriPlanefeatEncoder, TriPlaneSFTfeatEncoder, adaptive_avg_pool
 
 
+def texture_out_channels_for(channel_base: int, channel_max: int) -> Tuple[int, int, int, int]:
+    """Channels of the first 4 texture-backbone `return_list` taps
+    [img_lo(32ch), x@32, x@64, x@128] — the taps the texture U-Net offsets
+    (uvnet.py:123-158 adds `tex_offsets` to `gt_feats[:4]`). The texture
+    backbone's image channels are fixed at 32 (triplane_v20.py:64)."""
+    return (32,
+            min(channel_base // 32, channel_max),
+            min(channel_base // 64, channel_max),
+            min(channel_base // 128, channel_max))
+
+
 class UnetEncoderPair(nn.Module):
     """Container mirroring reference `unet_encoder` (uvnet.py:15-24) /
     `improved_os_unet_encoder` (uvnet_new.py:13-22)."""
@@ -226,6 +237,85 @@ class InversionNet(nn.Module):
         out["e4e_image"] = e4e_img
         return out
 
+    # -------------------------------------------------- multi-T building blocks
+    #
+    # The reference's run_G_seq_multiT (video_loss.py:289-357) wraps the ENTIRE
+    # chunk loop — including the last chunk's e4e render and U-Net input
+    # assembly — in torch.no_grad(); only the final U-Net forwards, the
+    # backbone-with-SFT pass and one render carry gradients. That boundary lets
+    # the training step split into small fixed-shape programs (each jitted
+    # once, executed per chunk) instead of one uncompilable unrolled graph:
+    #   chunk_inputs (no grad, 1 render)  →  chunk_state (no grad, 2 U-Nets)
+    #   → … repeated per prefix chunk …  →  multiT_final (grads, 1 render).
+
+    def backbone_feats(self, ws, train: bool = False):
+        """Frozen-generator texture/static feature lists for a ws
+        (video_loss.py:303-304). No-grad at the call site."""
+        tex = self.generator.texture_backbone.synthesis(ws, return_list=True, noise_mode="const")
+        static = self.generator.backbone.synthesis(ws, return_list=True, noise_mode="const")
+        return tex, static
+
+    def multiT_chunk_inputs(self, frames, c, v, uv, ws, tex, static):
+        """One chunk's U-Net inputs (video_loss.py:308-318, under no_grad):
+        e4e render of the chunk → Δx → (uv_input, tri_input, e4e_img).
+
+        frames/uv: [B, Tc, ...]; c: [B, Tc, ·]; v['uvcoords_image']: [B, Tc, ...].
+        """
+        B, Tc = c.shape[:2]
+        vid_ws = jnp.repeat(ws, Tc, axis=0)
+
+        def rep(feats):
+            return [jnp.repeat(f, Tc, axis=0) for f in feats]
+
+        uvi = v["uvcoords_image"]
+        flat_c = c.reshape(B * Tc, -1)
+        flat_v = {"uvcoords_image": uvi.reshape(B * Tc, *uvi.shape[2:])}
+        frames_flat = frames.reshape(B * Tc, *frames.shape[2:])
+        e4e_img = self.generator.synthesis_withTexture(
+            vid_ws, rep(tex), flat_c, flat_v, static_feats=rep(static), noise_mode="const"
+        )["image"]
+        if e4e_img.shape[1] != frames_flat.shape[1]:
+            e4e_img = resize_bilinear(e4e_img, frames_flat.shape[1:3], antialias=True)
+        delta = e4e_img - frames_flat[..., :3]
+        uv_flat = uv.reshape(B * Tc, *uv.shape[2:])
+        uv_input = self.get_unet_uvinput(uv_flat, delta).reshape(B, Tc, 256, 256, 7)
+        tri_input = jnp.concatenate([frames_flat[..., :3], delta], axis=-1).reshape(
+            B, Tc, *frames_flat.shape[1:3], 6
+        )
+        return uv_input, tri_input, e4e_img
+
+    def multiT_chunk_state(self, uv_input, tri_input, r_tex=None, r_tri=None,
+                           train: bool = False):
+        """Prefix GRU-state update (video_loss.py:319-323, under no_grad): run
+        both U-Nets for their recurrent states only."""
+        _, r_tex = self.unet_encoder.texture_unet(uv_input, r_list=r_tex, train=train)
+        _, r_tri = self.unet_encoder.triplane_unet(tri_input, r_list=r_tri, train=train)
+        return r_tex, r_tri
+
+    def multiT_final(self, uv_input, tri_input, r_tex, r_tri, ws, tex, static,
+                     c_sel, v_sel, train: bool = False):
+        """Gradient-carrying suffix (video_loss.py:326-357): U-Nets with the
+        carried GRU states → offsets → backbone-with-SFT → one render over the
+        selected frames. c_sel: [B, T_out, ·]; v_sel['uvcoords_image'] likewise.
+        Returns the raw I_output dict ([B·T_out, ...] leaves)."""
+        tex_offsets, _ = self.unet_encoder.texture_unet(uv_input, r_list=r_tex, train=train)
+        sft, _ = self.unet_encoder.triplane_unet(tri_input, r_list=r_tri, train=train)
+        texture_feats = [f + o for f, o in zip(tex, tex_offsets)] + list(tex[len(tex_offsets):])
+        static_feats = self.generator.backbone.synthesis(
+            ws, return_list=True, feat_conditions=sft, noise_mode="const"
+        )
+        B, T_out = c_sel.shape[:2]
+        uvi = v_sel["uvcoords_image"]
+        out = self.generator.synthesis_withTexture(
+            jnp.repeat(ws, T_out, axis=0),
+            [jnp.repeat(f, T_out, axis=0) for f in texture_feats],
+            c_sel.reshape(B * T_out, -1),
+            {"uvcoords_image": uvi.reshape(B * T_out, *uvi.shape[2:])},
+            static_feats=[jnp.repeat(f, T_out, axis=0) for f in static_feats],
+            noise_mode="const",
+        )
+        return out
+
     def run_seq_multiT(self, vid_frames, vid_c, vid_v, vid_uv, frm_per_chunk: int = 6,
                        ws=None, return_idx=None, train: bool = False):
         """Chunked multi-T rollout (video_loss.py:289-357 run_G_seq_multiT).
@@ -237,6 +327,11 @@ class InversionNet(nn.Module):
         reference's random Ireal subset) renders only those frames; None renders
         all T with the final updated features.
         Returns {'image': [B, T_out, H, W, 3], 'e4e_image': last chunk's e4e}.
+
+        Monolithic composition of the multiT_* building blocks — used by eval
+        and equivalence tests; the training step executes the blocks as
+        separate jitted programs (train/loop_inversion.py) so compile stays
+        bounded (VERDICT r2 #1).
         """
         sg = jax.lax.stop_gradient
         B, T = vid_c.shape[:2]
@@ -247,66 +342,40 @@ class InversionNet(nn.Module):
         if ws is None:
             ws = self.encode(vid_frames[:, 0], train=train)
         ws = sg(ws)
-        tex = [sg(f) for f in self.generator.texture_backbone.synthesis(ws, return_list=True, noise_mode="const")]
-        static = [sg(f) for f in self.generator.backbone.synthesis(ws, return_list=True, noise_mode="const")]
-        vid_ws = jnp.repeat(ws, Tc, axis=0)
+        tex, static = self.backbone_feats(ws)
+        tex = [sg(f) for f in tex]
+        static = [sg(f) for f in static]
 
-        def rep(feats):
-            return [jnp.repeat(f, Tc, axis=0) for f in feats]
-
-        def chunk_inputs(i):
-            c = vid_c[:, i * Tc:(i + 1) * Tc].reshape(B * Tc, -1)
-            v = {"uvcoords_image": uvi[:, i * Tc:(i + 1) * Tc].reshape(B * Tc, *uvi.shape[2:])}
-            frames = vid_frames[:, i * Tc:(i + 1) * Tc].reshape(B * Tc, *vid_frames.shape[2:])
-            uv = vid_uv[:, i * Tc:(i + 1) * Tc].reshape(B * Tc, *vid_uv.shape[2:])
-            e4e_img = sg(
-                self.generator.synthesis_withTexture(
-                    vid_ws, rep(tex), c, v, static_feats=rep(static), noise_mode="const"
-                )["image"]
+        def chunk(i):
+            sl = slice(i * Tc, (i + 1) * Tc)
+            return self.multiT_chunk_inputs(
+                vid_frames[:, sl], vid_c[:, sl],
+                {"uvcoords_image": uvi[:, sl]}, vid_uv[:, sl], ws, tex, static,
             )
-            if e4e_img.shape[1] != frames.shape[1]:
-                e4e_img = resize_bilinear(e4e_img, frames.shape[1:3], antialias=True)
-            delta = e4e_img - frames[..., :3]
-            uv_input = self.get_unet_uvinput(uv, delta).reshape(B, Tc, 256, 256, 7)
-            tri_input = jnp.concatenate([frames[..., :3], delta], axis=-1).reshape(
-                B, Tc, *frames.shape[1:3], 6
-            )
-            return uv_input, tri_input, e4e_img
 
         r_tex = r_tri = None
         for i in range(n_chunks - 1):
-            uv_input, tri_input, _ = chunk_inputs(i)
-            _, r_tex = self.unet_encoder.texture_unet(sg(uv_input), r_list=r_tex, train=train)
-            _, r_tri = self.unet_encoder.triplane_unet(sg(tri_input), r_list=r_tri, train=train)
+            uv_input, tri_input, _ = chunk(i)
+            r_tex, r_tri = self.multiT_chunk_state(
+                sg(uv_input), sg(tri_input), r_tex, r_tri, train=train
+            )
             r_tex = jax.tree_util.tree_map(sg, r_tex)
             r_tri = jax.tree_util.tree_map(sg, r_tri)
 
-        uv_input, tri_input, e4e_last = chunk_inputs(n_chunks - 1)
-        tex_offsets, _ = self.unet_encoder.texture_unet(uv_input, r_list=r_tex, train=train)
-        sft, _ = self.unet_encoder.triplane_unet(tri_input, r_list=r_tri, train=train)
-        texture_feats = [f + o for f, o in zip(tex, tex_offsets)] + list(tex[len(tex_offsets):])
-        static_feats = self.generator.backbone.synthesis(
-            ws, return_list=True, feat_conditions=sft, noise_mode="const"
-        )
+        uv_input, tri_input, e4e_last = chunk(n_chunks - 1)
+        uv_input, tri_input, e4e_last = sg(uv_input), sg(tri_input), sg(e4e_last)
 
         if return_idx is None:
             T_out = T
-            c_sel = vid_c.reshape(B * T, -1)
-            v_sel = {"uvcoords_image": uvi.reshape(B * T, *uvi.shape[2:])}
+            c_sel = vid_c
+            v_sel = {"uvcoords_image": uvi}
         else:
             return_idx = jnp.asarray(return_idx)
             T_out = return_idx.shape[0]
-            c_sel = jnp.take(vid_c, return_idx, axis=1).reshape(B * T_out, -1)
-            v_sel = {
-                "uvcoords_image": jnp.take(uvi, return_idx, axis=1).reshape(B * T_out, *uvi.shape[2:])
-            }
-        ws_out = jnp.repeat(ws, T_out, axis=0)
-        out = self.generator.synthesis_withTexture(
-            ws_out,
-            [jnp.repeat(f, T_out, axis=0) for f in texture_feats],
-            c_sel, v_sel,
-            static_feats=[jnp.repeat(f, T_out, axis=0) for f in static_feats],
-            noise_mode="const",
+            c_sel = jnp.take(vid_c, return_idx, axis=1)
+            v_sel = {"uvcoords_image": jnp.take(uvi, return_idx, axis=1)}
+        out = self.multiT_final(
+            uv_input, tri_input, r_tex, r_tri, ws, tex, static, c_sel, v_sel, train=train
         )
         return {
             "image": out["image"].reshape(B, T_out, *out["image"].shape[1:]),

@@ -306,6 +306,37 @@ def oneshot_d_loss(
 # ---------------------------------------------------------------- few-shot stage
 
 
+def fewshot_feature_losses(
+    i_out: Dict,  # {'image','feature_image','triplane'} flat [B*T, ...] (grads flow)
+    gen_out: Dict,  # same keys, the frozen generator's GT (stop-grad outside)
+    lpips: Callable,
+    weights: InversionLossWeights,
+    d_apply: Optional[Callable] = None,
+):
+    """Igen feature-level terms (video_loss.py:390-425): image l1/lpips after
+    256-resize + exact raw_l1 / tri / lr_lpips supervision (+ adv when a dual
+    discriminator is attached, :390-396)."""
+    losses = {}
+    if weights.adv > 0 and d_apply is not None:
+        logits = d_apply({"image": i_out["image"],
+                          "image_raw": i_out["feature_image"][..., :3]})
+        losses["adv"] = jnp.mean(jax.nn.softplus(-logits))
+    gen256 = _to256(gen_out["image"][..., :3])
+    i256 = _to256(i_out["image"])
+    if weights.l1 > 0:
+        losses["l1"] = jnp.mean(jnp.abs(gen256 - i256))
+    if weights.lpips > 0:
+        losses["lpips"] = lpips(gen256, i256)
+    if weights.raw_l1 > 0:
+        losses["raw_l1"] = jnp.mean(jnp.abs(gen_out["feature_image"] - i_out["feature_image"]))
+    if weights.tri > 0:
+        losses["tri"] = jnp.mean(jnp.abs(gen_out["triplane"] - i_out["triplane"]))
+    if weights.lr_lpips > 0:
+        losses["lr_lpips"] = lpips(gen_out["feature_image"][..., :3], i_out["feature_image"][..., :3])
+    total = sum(getattr(weights, k) * val for k, val in losses.items())
+    return total, losses
+
+
 def fewshot_igen_loss(
     inv_run_seq: Callable,  # (frames, c, v, uv, ws|None) -> I_output dict (grads flow)
     gen_mapping: Callable,
@@ -326,22 +357,7 @@ def fewshot_igen_loss(
     synth_frames = gen_out["image"].reshape(B, T, *gen_out["image"].shape[1:])
 
     i_out = inv_run_seq(synth_frames, vid_c, vid_v, vid_uv, None)
-
-    losses = {}
-    gen256 = _to256(gen_out["image"])
-    i256 = _to256(i_out["image"])
-    if weights.l1 > 0:
-        losses["l1"] = jnp.mean(jnp.abs(gen256 - i256))
-    if weights.lpips > 0:
-        losses["lpips"] = lpips(gen256, i256)
-    if weights.raw_l1 > 0:
-        losses["raw_l1"] = jnp.mean(jnp.abs(gen_out["feature_image"] - i_out["feature_image"]))
-    if weights.tri > 0:
-        losses["tri"] = jnp.mean(jnp.abs(gen_out["triplane"] - i_out["triplane"]))
-    if weights.lr_lpips > 0:
-        losses["lr_lpips"] = lpips(gen_out["feature_image"][..., :3], i_out["feature_image"][..., :3])
-    total = sum(getattr(weights, k) * val for k, val in losses.items())
-    return total, losses
+    return fewshot_feature_losses(i_out, gen_out, lpips, weights)
 
 
 def fewshot_ireal_multiT_loss(
@@ -357,11 +373,21 @@ def fewshot_ireal_multiT_loss(
     the rollout sees all T frames (no-grad prefix chunks), the loss is computed
     on the `fake_idx` subset — index 0 first (full-image loss), the rest
     head-masked when a mask channel is present."""
-    B = vid_c.shape[0]
     out = inv_run_multiT(vid_frames[..., :3], vid_c, vid_v, vid_uv, fake_idx, ws)
-    fake = out["image"]  # [B, Tc, H, W, 3]
-    Tc = fake.shape[1]
     real = jnp.take(vid_frames, jnp.asarray(fake_idx), axis=1)  # [B, Tc, H, W, 3+m]
+    return fewshot_image_losses(out["image"], real, lpips, weights)
+
+
+def fewshot_image_losses(
+    fake,  # [B, Tc, H, W, 3] rendered selection (grads flow)
+    real,  # [B, Tc, H, W, 3(+mask)] matching real frames
+    lpips: Callable,
+    weights: InversionLossWeights,
+):
+    """Ireal image-level terms on a rendered frame selection
+    (video_loss.py:432-445): selection index 0 is the full-image loss, later
+    frames are composited onto the real background via the head mask."""
+    B, Tc = fake.shape[:2]
     if fake.shape[2] != real.shape[2]:
         fake = resize_bilinear(
             fake.reshape(B * Tc, *fake.shape[2:]), (real.shape[2], real.shape[3])

@@ -1,0 +1,205 @@
+"""Record a real-TPU execution of the few-shot inversion training step.
+
+VERDICT r2 #1 done-criterion: "a recorded TPU run (script + JSON/log in docs/)
+of one few-shot step at a stated config with finite losses and step/compile
+wall times". This script runs the program-split step (train/loop_inversion.py
+FewshotPrograms) on whatever backend jax picks (the axon TPU on this box) at
+the FLAGSHIP generator config and writes docs/fewshot_tpu_run.json.
+
+Configs exercised:
+  * shipped few-shot unit (config/train_textureUnet_video.yaml: multiT off,
+    frm_per_vid 4 → run_seq semantics): B=1, T=4, one Ireal + one Igen step.
+  * multi-T curriculum probe: B=1, T=12, frm_per_chunk=6 (2 chunks, carried
+    GRU state), one Ireal step on the [0]+random frame subset.
+
+Loss weights follow the shipped YAML except the LPIPS terms (lpips 1.0,
+lr_lpips 1.0 there) which require pretrained AlexNet weights that do not
+exist in this image — recorded as disabled in the JSON.
+
+Usage: python scripts/validate_fewshot_tpu.py [--multiT-only|--plain-only]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_repo, ".jax_cache"))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from invertavatar_tpu.models.encoders.uvnet import InversionNet
+from invertavatar_tpu.train.dryrun import _fake_batch
+from invertavatar_tpu.train.inversion import InversionLossWeights
+from invertavatar_tpu.train.loop_inversion import (
+    make_fewshot_train_step,
+    masked_adam,
+    unet_decoder_trainable,
+)
+from invertavatar_tpu.train.state import TrainState
+
+# flagship generator config (models/flagship.py geometry, triplane_v20.py:28-63)
+FLAGSHIP_RENDERING_KWARGS = {
+    "image_resolution": 512,
+    "disparity_space_sampling": False,
+    "clamp_mode": "softplus",
+    "superresolution_module": "invertavatar_tpu.models.superresolution.SuperresolutionHybrid8XDC",
+    "c_gen_conditioning_zero": False,
+    "c_scale": 1.0,
+    "superresolution_noise_mode": "random",
+    "density_reg": 0.25,
+    "density_reg_p_dist": 0.004,
+    "reg_type": "l1",
+    "decoder_lr_mul": 1.0,
+    "sr_antialias": True,
+    "depth_resolution": 48,
+    "depth_resolution_importance": 48,
+    "box_warp": 1.0,
+    "gpc_reg_prob": 0.5,
+}
+
+
+def build(T: int):
+    gen_cfg = dict(
+        z_dim=512, c_dim=25, w_dim=512, img_resolution=512, img_channels=3,
+        rendering_kwargs=dict(FLAGSHIP_RENDERING_KWARGS),
+        neural_rendering_resolution=128, channel_base=32768, channel_max=512,
+        map_num_layers=2,
+    )
+    net = InversionNet(generator_cfg=gen_cfg)
+    rng = jax.random.PRNGKey(0)
+    rngs = {"params": rng, "buffers": jax.random.fold_in(rng, 1),
+            "noise": jax.random.fold_in(rng, 2), "ray": jax.random.fold_in(rng, 3)}
+    raw = _fake_batch(np.random.RandomState(0), batch=1, res=512, z_dim=512)
+    imgs = np.tile(raw["image"][:, None], (1, T, 1, 1, 1)).astype(np.float32)
+    for t in range(T):
+        imgs[:, t] += 0.05 * np.sin(t + 1.0)
+    uvc = jnp.tile(jnp.asarray(raw["v"]["uvcoords_image"])[:, None], (1, T, 1, 1, 1))
+    batch = {
+        "image": jnp.asarray(imgs),
+        "c": jnp.tile(jnp.asarray(raw["c"])[:, None], (1, T, 1)),
+        "v": {"uvcoords_image": uvc},
+        "uv": jnp.zeros((1, T, 256, 256, 6), jnp.float32),
+        "z": jnp.asarray(raw["z"]),
+    }
+    t0 = time.time()
+    # shape-traced init (no eager dispatch through the axon relay — an eager
+    # flax init of the flagship net is thousands of ops at ~1 RTT each)
+    from invertavatar_tpu.flagship import init_by_shape
+
+    variables = init_by_shape(
+        lambda: net.init(
+            rngs, batch["image"][:, :1], batch["c"][:, :1],
+            {"uvcoords_image": uvc[:, :1]}, batch["uv"][:, :1], None,
+            method=lambda m, f, c, v, uv, ws: m.run_seq(f, c, v, uv, ws=ws),
+        )
+    )
+    gen_vars = init_by_shape(
+        lambda: net.init(
+            rngs, batch["z"], batch["c"][:, 0], {"uvcoords_image": uvc[:, 0]},
+            method=lambda m, z, cc, v: m.generator(z, cc, v),
+        )
+    )
+    variables = dict(variables)
+    variables["params"] = dict(variables["params"])
+    variables["params"]["generator"] = dict(variables["params"]["generator"])
+    variables["params"]["generator"]["backbone"] = gen_vars["params"]["generator"]["backbone"]
+    variables["buffers"] = dict(variables["buffers"])
+    variables["buffers"]["generator"] = gen_vars["buffers"]["generator"]
+    init_s = time.time() - t0
+    return net, variables, batch, init_s
+
+
+def run_stage(net, variables, batch, multiT: bool, frm_per_chunk: int, record: dict):
+    weights = InversionLossWeights(l1=1.0, lpips=0.0, id=0.0, raw_l1=1.0, tri=0.001,
+                                   lr_lpips=0.0, mouth=0.0, adv=0.0)
+    tx = masked_adam(2.5e-5, unet_decoder_trainable, b1=0.5, b2=0.999)
+    state = TrainState(variables["params"], tx.init(variables["params"]),
+                       {k: v for k, v in variables.items() if k != "params"})
+    step = make_fewshot_train_step(net, lambda a, b: jnp.mean(jnp.abs(a - b)), tx, weights,
+                                   frm_per_chunk=frm_per_chunk)
+    T = batch["c"].shape[1]
+    Tc = min(frm_per_chunk, T) if multiT else T
+    npr = np.random.RandomState(0)
+    fake_idx = (
+        jnp.asarray(np.concatenate([[0], 1 + npr.permutation(T - 1)[:Tc - 1]]).astype(np.int32))
+        if multiT else None
+    )
+
+    t0 = time.time()
+    s1, aux1 = step(state, batch, jax.random.PRNGKey(1), do_igen=False, multiT=multiT,
+                    fake_idx=fake_idx)
+    jax.block_until_ready(jax.tree_util.tree_leaves(s1.params)[0])
+    record["ireal_step1_s"] = round(time.time() - t0, 1)
+    record["ireal_losses"] = {k: float(v) for k, v in aux1.items()}
+
+    t0 = time.time()
+    s2, aux2 = step(s1, batch, jax.random.PRNGKey(2), do_igen=True, multiT=multiT)
+    jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
+    record["igen_step1_s"] = round(time.time() - t0, 1)
+    record["igen_losses"] = {k: float(v) for k, v in aux2.items()}
+
+    # warm step (compile cache hot)
+    t0 = time.time()
+    s3, aux3 = step(s2, batch, jax.random.PRNGKey(3), do_igen=False, multiT=multiT,
+                    fake_idx=fake_idx)
+    jax.block_until_ready(jax.tree_util.tree_leaves(s3.params)[0])
+    record["ireal_step2_warm_s"] = round(time.time() - t0, 1)
+
+    finite = all(np.isfinite(float(v)) for v in {**aux1, **aux2}.values())
+    record["finite_losses"] = bool(finite)
+    # decoder params moved, trunks frozen
+    moved = any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params["unet_encoder"]["triplane_unet"]["up2"]),
+            jax.tree_util.tree_leaves(s3.params["unet_encoder"]["triplane_unet"]["up2"]),
+        )
+    )
+    record["decoder_params_moved"] = bool(moved)
+    return record
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    out = {
+        "backend": jax.devices()[0].platform,
+        "device_kind": jax.devices()[0].device_kind,
+        "generator": "flagship (512^2 out, 128^2 neural render, 48+48 samples, ch 32768/512)",
+        "loss_weights": {"l1": 1.0, "raw_l1": 1.0, "tri": 0.001,
+                         "lpips": "disabled (no pretrained AlexNet in image; shipped yaml: 1.0)",
+                         "lr_lpips": "disabled (same)", "adv": 0.0},
+        "optimizer": "masked adam lr 2.5e-5 betas (0.5, 0.999) on U-Net decoders",
+        "configs": {},
+    }
+    print("backend:", out["backend"], out["device_kind"], flush=True)
+
+    if mode in ("all", "--plain-only"):
+        print("== shipped config: B=1 T=4 multiT=off (train_textureUnet_video.yaml) ==", flush=True)
+        net, variables, batch, init_s = build(T=4)
+        rec = {"B": 1, "T": 4, "multiT": False, "init_s": round(init_s, 1)}
+        run_stage(net, variables, batch, multiT=False, frm_per_chunk=4, record=rec)
+        out["configs"]["shipped_T4"] = rec
+        print(json.dumps(rec), flush=True)
+
+    if mode in ("all", "--multiT-only"):
+        print("== multi-T probe: B=1 T=12 frm_per_chunk=6 ==", flush=True)
+        net, variables, batch, init_s = build(T=12)
+        rec = {"B": 1, "T": 12, "multiT": True, "frm_per_chunk": 6, "init_s": round(init_s, 1)}
+        run_stage(net, variables, batch, multiT=True, frm_per_chunk=6, record=rec)
+        out["configs"]["multiT_T12"] = rec
+        print(json.dumps(rec), flush=True)
+
+    path = os.path.join(_repo, "docs", "fewshot_tpu_run.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote", path, flush=True)
+
+
+if __name__ == "__main__":
+    main()
