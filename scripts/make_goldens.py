@@ -29,6 +29,12 @@ if REF not in sys.path:
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+import jax  # noqa: E402
+
+# the axon sitecustomize force-sets jax_platforms at interpreter start;
+# override back — goldens are CPU-only maintenance artifacts
+jax.config.update("jax_platforms", "cpu")
+
 from tests.oracle_utils import pin_eval_jitter, stub_reference_modules  # noqa: E402
 
 stub_reference_modules()
@@ -74,7 +80,10 @@ def make_stylegan():
     w_avg = rng.randn(CFG["w_dim"]).astype(np.float32)
     with torch.no_grad():
         ws_ref = g.mapping(torch.tensor(z), None).numpy()
-        img_ref = g(torch.tensor(z), None, noise_mode="const").numpy()
+        img_ref = g.synthesis(
+            g.mapping(torch.tensor(z), None), cond_list=None, return_list=False,
+            noise_mode="const",
+        ).numpy()
         g.mapping.w_avg.copy_(torch.tensor(w_avg))
         ws_trunc_ref = g.mapping(torch.tensor(z), None, truncation_psi=0.7,
                                  truncation_cutoff=5).numpy()

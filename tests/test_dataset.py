@@ -9,6 +9,8 @@ import pytest
 
 from invertavatar_tpu.data import AvatarDataset, InfiniteSampler, VideoDataset, prefetch_batches
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture()
 def layout(tmp_path):

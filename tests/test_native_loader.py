@@ -6,6 +6,8 @@ import pytest
 
 from invertavatar_tpu.data import native_loader
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def built():

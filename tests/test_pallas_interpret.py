@@ -24,6 +24,8 @@ from invertavatar_tpu.ops.pallas_plane_sample import sample_planes_windowed_pall
 from invertavatar_tpu.render.renderer import ImportanceRenderer
 from invertavatar_tpu.render.ray_sampler import sample_rays
 
+pytestmark = pytest.mark.smoke
+
 
 def _structured_grid(rng, N, res, S, spread=0.08, scale=1.1):
     """Tile-coherent sampling grid like the real coarse pass (rays of a tile

@@ -1,5 +1,6 @@
 """Fast tri-plane sampling paths: exactness vs the naive grid_sample."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -9,6 +10,8 @@ from invertavatar_tpu.ops.plane_sample import (
     pad_planes_for_patch,
     sample_planes_coarse_windowed,
 )
+
+pytestmark = pytest.mark.smoke
 
 
 def test_patch_gather_matches_grid_sample():

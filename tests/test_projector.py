@@ -1,10 +1,13 @@
 """PTI W+ projector: recovers a known latent on a toy differentiable generator."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from invertavatar_tpu.inversion import project_w_plus
+
+pytestmark = pytest.mark.smoke
 
 
 def test_projector_recovers_target():

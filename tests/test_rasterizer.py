@@ -1,5 +1,6 @@
 """TPU rasterizer correctness vs a brute-force numpy oracle."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -9,6 +10,8 @@ from invertavatar_tpu.render.rasterizer import (
     interpolate_attributes,
     rasterize,
 )
+
+pytestmark = pytest.mark.smoke
 
 
 def brute_force_raster(verts, faces, H, W, window=(-1, 1, -1, 1), cull=False):

@@ -11,6 +11,8 @@ from invertavatar_tpu.models.stylegan3 import (
     sg3_modulated_conv2d,
 )
 
+pytestmark = pytest.mark.smoke
+
 
 def test_filter_design_matches_scipy_reference():
     import scipy.signal
