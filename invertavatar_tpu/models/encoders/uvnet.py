@@ -154,7 +154,12 @@ class InversionNet(nn.Module):
         )
         e4e_image = y_hat["image"]
         if e4e_image.shape[1] != x["image"].shape[1]:
-            e4e_image = resize_bilinear(e4e_image, (256, 256), antialias=True)
+            # align the e4e render to the input frames (the reference face-pools
+            # to the 256² training res, uvnet.py:131; frames define the res here
+            # so shrunken test configs keep Δx consistent)
+            e4e_image = resize_bilinear(
+                e4e_image, (x["image"].shape[1], x["image"].shape[2]), antialias=True
+            )
         ws, tex, static, e4e_image = sg(ws), sg(tex), sg(static), sg(e4e_image)
         delta_x = e4e_image - x["image"][..., :3]
 

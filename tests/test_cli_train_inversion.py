@@ -57,7 +57,7 @@ def _make_layout(tmp_path, n_vids=2, n_frames=3):
     return str(img_dir)
 
 
-def test_fewshot_cli_runs_igen(tmp_path):
+def _ref_pkl(tmp_path):
     import torch
 
     torch.manual_seed(0)
@@ -69,6 +69,19 @@ def test_fewshot_cli_runs_igen(tmp_path):
     pkl = tmp_path / "gan.pkl"
     with open(pkl, "wb") as f:
         pickle.dump({"G_ema": g_t}, f)
+    return pkl
+
+
+def _stats_names(outdir):
+    names = set()
+    with open(outdir / "stats.jsonl") as f:
+        for line in f:
+            names.update(json.loads(line).keys())
+    return names
+
+
+def test_fewshot_cli_runs_igen(tmp_path):
+    pkl = _ref_pkl(tmp_path)
 
     data = _make_layout(tmp_path)
     outdir = tmp_path / "run"
@@ -86,12 +99,57 @@ def test_fewshot_cli_runs_igen(tmp_path):
         "--max-steps", "2",
     ])
 
-    stats_path = outdir / "stats.jsonl"
-    assert stats_path.exists(), "driver wrote no stats.jsonl"
-    names = set()
-    with open(stats_path) as f:
-        for line in f:
-            names.update(json.loads(line).keys())
+    assert (outdir / "stats.jsonl").exists(), "driver wrote no stats.jsonl"
+    names = _stats_names(outdir)
     assert any(n.startswith("Ireal/") for n in names), names
     # the Igen phase ran from the CLI path (video_loss.py:373-425 parity)
+    assert any(n.startswith("Igen/") for n in names), names
+
+
+def test_oneshot_cli_runs_igen(tmp_path):
+    """Driver-launched one-shot stage: 3 steps cover the Ireal (idx 0-1) and
+    Igen (idx 2) phases of oneshot_phase_schedule; the CLI's collate supplies
+    the z / gen_uv the Igen phase consumes (training_loop_unet_interval.py
+    :356-368 parity)."""
+    pkl = _ref_pkl(tmp_path)
+    data = _make_layout(tmp_path)
+    outdir = tmp_path / "run_os"
+
+    from invertavatar_tpu.cli.train_inversion import main
+
+    main([
+        "--outdir", str(outdir),
+        "--data", data,
+        "--gen_pkl", str(pkl),
+        "--training_state", "oneshot",
+        "--batch", "1",
+        "--res", "64",
+        "--max-steps", "3",
+    ])
+    names = _stats_names(outdir)
+    assert any(n.startswith("Ireal/") for n in names), names
+    assert any(n.startswith("Igen/") for n in names), names
+
+
+def test_e4e_cli_runs(tmp_path):
+    """Driver-launched e4e stage: one step does both Ireal and Igen
+    (encoder_inversion/training_loop.py via w_loss.py); losses land in
+    stats.jsonl from the CLI path."""
+    pkl = _ref_pkl(tmp_path)
+    data = _make_layout(tmp_path)
+    outdir = tmp_path / "run_e4e"
+
+    from invertavatar_tpu.cli.train_inversion import main
+
+    main([
+        "--outdir", str(outdir),
+        "--data", data,
+        "--gen_pkl", str(pkl),
+        "--training_state", "e4e",
+        "--batch", "1",
+        "--res", "64",
+        "--max-steps", "1",
+    ])
+    names = _stats_names(outdir)
+    assert any(n.startswith("Ireal/") for n in names), names
     assert any(n.startswith("Igen/") for n in names), names
