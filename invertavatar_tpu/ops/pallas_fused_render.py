@@ -30,6 +30,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _tile_shape(tile):
+    """Normalize the tile argument: int -> square, (th, tw) -> rectangular.
+
+    Rectangular (tall × thin in PIXEL space) tiles trade window rows for
+    window LANES: the per-step tent matmul streams [P, win_r] × [win_r,
+    win_c*C], and its cost scales with the lane width win_c*C far more than
+    with win_r (K stays under one MXU pass; the ohx tent build is pure VPU
+    lane work). A 64×4 pixel tile needs only ~16 texel columns vs 36 for
+    16×16 — same P, same exactness guarantee (the window still bounds the
+    footprint per axis), ~2× fewer lanes.
+    """
+    if isinstance(tile, (tuple, list)):
+        th, tw = int(tile[0]), int(tile[1])
+    else:
+        th = tw = int(tile)
+    return th, tw
+
+
+def _window_shape(window):
+    """Normalize the window argument: int -> square, (wy, wx) -> per-axis."""
+    if isinstance(window, (tuple, list)):
+        return int(window[0]), int(window[1])
+    return int(window), int(window)
+
+
 def _tent_contract(blk, gy, gx, ys_f, xs_f, *, P, win_r, win_c, C, H, W, exact):
     """Bilinear interpolation of P points from a [win_r, win_c*C] window.
 
@@ -246,12 +271,14 @@ def fused_render_pallas(
     N, H, W, C = planes.shape
     assert N == 3
     R, S = grid.shape[1], grid.shape[2]
-    assert R == res * res and res % tile == 0
-    t_side = res // tile
-    T = t_side * t_side
-    P = tile * tile
+    th, tw = _tile_shape(tile)
+    wy, wx = _window_shape(window)
+    assert R == res * res and res % th == 0 and res % tw == 0
+    tsy, tsx = res // th, res // tw
+    T = tsy * tsx
+    P = th * tw
 
-    g = grid.reshape(N, t_side, tile, t_side, tile, S, 2)
+    g = grid.reshape(N, tsy, th, tsx, tw, S, 2)
     g = jnp.transpose(g, (0, 1, 3, 5, 2, 4, 6)).reshape(N, T * S, P, 2)
     S_g, P_g = S, P
     if s_group > 1:
@@ -269,8 +296,10 @@ def fused_render_pallas(
     # win_r must be a row_align multiple: the clip ceiling H - win_r is then
     # itself aligned, so aligning ys down never pulls a bottom-edge window off
     # its footprint (H is a row_align multiple for all shipped plane sizes)
-    win_r = -(-(window + row_align) // row_align) * row_align
-    win_c = -(-(window + xalign) // xalign) * xalign
+    # a window bound larger than the plane degrades to "whole plane" (always
+    # exact); H/W are row_align/xalign multiples for all shipped plane sizes
+    win_r = min(-(-(wy + row_align) // row_align) * row_align, H)
+    win_c = min(-(-(wx + xalign) // xalign) * xalign, W)
     xs = jnp.clip(jnp.floor(jnp.min(gx, axis=-1)).astype(jnp.int32) - 1, 0, max(W - win_c, 0))
     ys = jnp.clip(jnp.floor(jnp.min(gy, axis=-1)).astype(jnp.int32) - 1, 0, max(H - win_r, 0))
     ys = (ys // row_align) * row_align
@@ -291,7 +320,7 @@ def fused_render_pallas(
     if return_raw:
         assert s_group == 1
         return out
-    out = out.reshape(t_side, t_side, S_g, s_group, tile, tile, O)
+    out = out.reshape(tsy, tsx, S_g, s_group, th, tw, O)
     out = jnp.transpose(out, (0, 4, 1, 5, 2, 3, 6)).reshape(R, S, O)
     return out[..., 1:], out[..., 0:1]
 
@@ -509,8 +538,10 @@ def fused_merged_march_pallas(
     """
     N, H, W, C = planes.shape
     T, Sm = is_fine.shape
-    t_side = res // tile
-    P = tile * tile
+    th, tw = _tile_shape(tile)
+    wy, wx = _window_shape(window)
+    tsy, tsx = res // th, res // tw
+    P = th * tw
     G = T * Sm
     O = 1 + C
 
@@ -519,8 +550,8 @@ def fused_merged_march_pallas(
 
     row_align = 8 if payload_dtype == jnp.float32 else 16
     xalign = max(1, 128 // C)
-    win_r = -(-(window + row_align) // row_align) * row_align
-    win_c = -(-(window + xalign) // xalign) * xalign
+    win_r = min(-(-(wy + row_align) // row_align) * row_align, H)
+    win_c = min(-(-(wx + xalign) // xalign) * xalign, W)
     xs = jnp.clip(jnp.floor(jnp.min(gx, axis=-1)).astype(jnp.int32) - 1, 0, max(W - win_c, 0))
     ys = jnp.clip(jnp.floor(jnp.min(gy, axis=-1)).astype(jnp.int32) - 1, 0, max(H - win_r, 0))
     ys = (ys // row_align) * row_align
@@ -561,6 +592,6 @@ def fused_merged_march_pallas(
         win_r=win_r, win_c=win_c, C=C, H=H, W=W, O=O, Sm=Sm, U=U,
         interpret=interpret,
     )  # [T, P, C+2]
-    out = out.reshape(t_side, t_side, tile, tile, C + 2)
+    out = out.reshape(tsy, tsx, th, tw, C + 2)
     out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(res * res, C + 2)
     return out[:, :C], out[:, C : C + 1], out[:, C + 1 :]

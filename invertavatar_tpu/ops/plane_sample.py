@@ -102,6 +102,22 @@ def coarse_window_for(resolution: int, tile: int = 16) -> int:
     return max(16, min(128, texels + 4))
 
 
+def coarse_window_rect(resolution: int, th: int, tw: int) -> Tuple[int, int]:
+    """Per-axis window bound for a rectangular th×tw pixel tile.
+
+    Same geometry bound as `coarse_window_for`, applied independently per
+    image axis: a tile's plane-space footprint along an axis scales with its
+    pixel extent along that axis (ray divergence is isotropic at the shipped
+    cameras). Tall-thin tiles (e.g. 64×4) shrink the window's LANE extent —
+    the dominant per-step cost in the fused Pallas kernels — while the extra
+    window rows ride the same DMA and stay under one MXU K-pass.
+    """
+    span = 0.25 * 3.4 * 2 * 128 / max(resolution, 1)
+    wy = max(12, min(192, int(math.ceil(th * span)) + 4))
+    wx = max(12, min(192, int(math.ceil(tw * span)) + 4))
+    return wy, wx
+
+
 def sample_planes_coarse_windowed(
     planes: jnp.ndarray,  # [N=B*3, H, W, C]
     grid: jnp.ndarray,  # [N, R, S, 2] plane-space xy in [-1,1]; rays row-major res×res

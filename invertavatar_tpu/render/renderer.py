@@ -347,9 +347,22 @@ class ImportanceRenderer:
             and scalar_bounds
             and not options.get("flip_z", False)
         ):
+            # rectangular kernel tiles (e.g. (64, 4)): tall-thin pixel tiles
+            # shrink the plane-window LANE extent — the dominant per-step
+            # kernel cost (ops/pallas_fused_render._tile_shape). Pooled-CDF
+            # regions follow the tile shape; fidelity gated like `pooled`.
+            tile_m, window_m = tile, window
+            ts_opt = options.get("tile_shape", None)
+            if ts_opt is not None:
+                from ..ops.plane_sample import coarse_window_rect
+
+                th_, tw_ = int(ts_opt[0]), int(ts_opt[1])
+                if res % th_ == 0 and res % tw_ == 0:
+                    tile_m = (th_, tw_)
+                    window_m = coarse_window_rect(res, th_, tw_)
             return self._march_fused_path(
                 planes, decoder_params, ray_origins, ray_directions,
-                depths_coarse, options, res, tile, window, n_imp, rng_imp,
+                depths_coarse, options, res, tile_m, window_m, n_imp, rng_imp,
             )
 
         colors_coarse, densities_coarse = run(depths_coarse, structured=True)
@@ -427,17 +440,20 @@ class ImportanceRenderer:
             fused_render_pallas,
         )
 
+        from ..ops.pallas_fused_render import _tile_shape
+
         B, n_planes = planes.shape[:2]
         R = res * res
         S = depths_coarse.shape[2]
-        t_side = res // tile
-        T = t_side * t_side
+        th, tw = _tile_shape(tile)
+        tsy, tsx = res // th, res // tw
+        T = tsy * tsx
         box = 2.0 / options["box_warp"]
         d_vec = depths_coarse[0, 0, :, 0]  # [S] — depths are globally shared here
 
         def group_rays(x):  # [B, R, 3] -> [B, T, P, 3] (tile-major, matches kernel)
-            x = x.reshape(B, t_side, tile, t_side, tile, 3)
-            return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(B, T, tile * tile, 3)
+            x = x.reshape(B, tsy, th, tsx, tw, 3)
+            return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(B, T, th * tw, 3)
 
         ro_t = group_rays(ray_origins)
         rd_t = group_rays(ray_directions)

@@ -147,6 +147,13 @@ def main():
         # sub-256 texture levels (models/triplane.py rasterize)
         "fast_uv": dict(pallas_coarse=True, pooled_importance=True, num_fp16_res=4,
                         fast_uv_warp=True),
+        # round-3 candidate: rectangular kernel tiles (lane-width lever,
+        # scripts/profile_rect_tiles.py) — pooled-CDF regions become 64×4
+        # strips; same bf16 payload error class otherwise
+        "rect_64x4": dict(pallas_coarse=True, pooled_importance=True, num_fp16_res=4,
+                          fast_uv_warp=True, tile_shape=(64, 4)),
+        "rect_64x8": dict(pallas_coarse=True, pooled_importance=True, num_fp16_res=4,
+                          fast_uv_warp=True, tile_shape=(64, 8)),
     }
 
     results = {}

@@ -191,6 +191,56 @@ def test_renderer_pallas_coarse_interpret_vs_exact():
     assert np.abs(np.asarray(ws) - np.asarray(ws_ref)).max() < 5e-2
 
 
+def test_renderer_fused_march_interpret_rect_tiles():
+    """Rectangular (tall×thin) kernel tiles (options['tile_shape']): the
+    lane-width lever for the fused kernels. Must stay within the same error
+    band as the square-tile fast path vs the exact pooled oracle — pooling
+    regions follow the tile shape, so this is gated like `pooled` itself."""
+    rng = np.random.RandomState(7)
+    planes, decoder, params, ro, rd, opts = _renderer_setup(rng)
+    r = ImportanceRenderer()
+
+    rgb_ref, dep_ref, ws_ref = r(planes, decoder, ro, rd, dict(opts), evaluation=True)
+
+    fast_opts = dict(
+        opts, pallas_coarse=True, fused_render=True, march_in_kernel=True,
+        pallas_interpret=True, tile_shape=(16, 2),
+    )
+    rgb, dep, ws = r(planes, decoder, ro, rd, fast_opts, evaluation=True,
+                     decoder_params=params)
+    rgb_err = np.abs(np.asarray(rgb) - np.asarray(rgb_ref))
+    # pooled regions differ (16×2 strips vs 8×8 squares) → slightly wider
+    # band than the square-tile test; the flagship-geometry gate is the
+    # fidelity harness (scripts/fidelity_flagship.py)
+    assert rgb_err.max() < 8e-2, rgb_err.max()
+    assert rgb_err.mean() < 1e-2, rgb_err.mean()
+    assert np.abs(np.asarray(ws) - np.asarray(ws_ref)).max() < 8e-2
+
+
+def test_fused_render_interpret_rect_tiles_exact():
+    """Rect tiles in the plain fused kernel: f32 payload must match the XLA
+    oracle bilinear+decoder to near-exact — the tile shape is a pure
+    scheduling choice there (no pooling interaction)."""
+    rng = np.random.RandomState(8)
+    N, H, C = 3, 64, 8
+    res, S = 32, 4
+    planes = jnp.asarray(rng.randn(N, H, H, C).astype(np.float32))
+    grid = _structured_grid(rng, N, res, S)
+    params = _decoder_params(rng, C=C)
+
+    from invertavatar_tpu.ops.pallas_fused_render import fused_render_pallas
+
+    feats = grid_sample(planes, grid.reshape(N, -1, 2)).reshape(N, res * res, S, C)
+    rgb_ref, sigma_ref = _osg_oracle(jnp.mean(feats, axis=0), params)
+
+    rgb, sigma = fused_render_pallas(
+        planes, grid, params, res=res, tile=(16, 2), window=(48, 16),
+        payload_dtype=jnp.float32, interpret=True,
+    )
+    assert np.abs(np.asarray(rgb) - np.asarray(rgb_ref)).max() < 1e-3
+    assert np.abs(np.asarray(sigma) - np.asarray(sigma_ref)).max() < 1e-2
+
+
 @pytest.mark.tpu
 def test_pallas_tpu_real_kernels():
     """Real-hardware kernel check (runs only when the suite executes on TPU;
