@@ -44,7 +44,7 @@ def _face_screen_xy(verts_xy: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     return verts_xy[faces]
 
 
-@partial(jax.jit, static_argnames=("height", "width", "tile", "faces_per_tile", "chunk", "cull_backfaces"))
+@partial(jax.jit, static_argnames=("height", "width", "tile", "faces_per_tile", "chunk", "cull_backfaces", "map_batch"))
 def rasterize(
     verts: jnp.ndarray,  # [V, 3] screen-space (x, y in the window, z for depth)
     faces: jnp.ndarray,  # [F, 3] int32
@@ -55,6 +55,7 @@ def rasterize(
     faces_per_tile: int = 1024,
     chunk: int = 256,
     cull_backfaces: bool = True,
+    map_batch: Optional[int] = None,  # None = all tiles in one vmap; int = lax.map batch
 ) -> RasterOut:
     """Rasterize one mesh over a rectangular NDC window."""
     x0, x1, y0, y1 = window
@@ -104,14 +105,15 @@ def rasterize(
 
     def tile_members(ty_i, tx_i):
         m = (fy0 <= ty_i) & (fy1 >= ty_i) & (fx0 <= tx_i) & (fx1 >= tx_i) & valid_face
-        # stable compaction: indices of member faces, -1 padded
-        idx = jnp.where(m, jnp.arange(F, dtype=jnp.int32), F)
-        idx = jnp.sort(idx)
-        if F >= faces_per_tile:
-            idx = idx[:faces_per_tile]
-        else:
-            idx = jnp.pad(idx, (0, faces_per_tile - F), constant_values=F)
-        return jnp.where(idx == F, -1, idx)
+        # stable compaction via prefix-sum + scatter: member k of the tile
+        # lands in slot k (ascending face order, like the sort it replaces —
+        # but a [T, F] scatter is ~wall-clock-free next to T sorts of F keys
+        # on TPU, which dominated the whole raster at F≈40k).
+        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+        slot = jnp.where(m & (pos < faces_per_tile), pos, faces_per_tile)
+        out = jnp.full((faces_per_tile + 1,), -1, jnp.int32)
+        out = out.at[slot].max(jnp.arange(F, dtype=jnp.int32), mode="drop")
+        return out[:faces_per_tile]
 
     tile_faces = jax.vmap(tile_members)(t_y, t_x)  # [T, faces_per_tile]
 
@@ -177,9 +179,17 @@ def rasterize(
         (zbuf, fbuf, bbuf), _ = jax.lax.scan(body, init, face_chunks)
         return zbuf, fbuf, bbuf
 
-    z_t, f_t, b_t = jax.lax.map(
-        lambda args: raster_tile(*args), (tile_ids, tile_faces), batch_size=8
-    )
+    # all tiles in one vmapped step by default: peak temp is [T, tile², chunk]
+    # f32 per body array (64·1024·256·4B = 64 MB at the driving config) and
+    # the work is one parallel VPU pass instead of T/map_batch sequential map
+    # segments. `map_batch` bounds the footprint for very large rasters.
+    if map_batch is None:
+        z_t, f_t, b_t = jax.vmap(raster_tile)(tile_ids, tile_faces)
+    else:
+        z_t, f_t, b_t = jax.lax.map(
+            lambda args: raster_tile(*args), (tile_ids, tile_faces),
+            batch_size=map_batch,
+        )
 
     # reassemble tiles -> full image
     def untile(x, extra=()):
