@@ -43,6 +43,11 @@ FLAGSHIP_RENDERING_KWARGS = {
     # and the merged-march kernel (march_in_kernel, default-on) were active
     # for the pooled/bf16_backbones/fast_uv variants above.
     "fast_uv_warp": True,
+    # round-3: rectangular 128×4 pixel tiles for the merged-march kernels —
+    # the tent-contract cost scales with the window LANE width (win_c·C), so
+    # tall-thin tiles cut it (docs/rect_tiles.json: 32.7 → 38.75 fps,
+    # max|d| vs square tiles 1e-5); fidelity harness 'rect' variants gate it.
+    "tile_shape": (128, 4),
 }
 
 

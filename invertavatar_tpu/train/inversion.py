@@ -408,6 +408,36 @@ def fewshot_image_losses(
     return total, losses
 
 
+def fewshot_image_loss_frame(
+    fake,  # [B, H, W, 3] one rendered frame (grads flow)
+    real,  # [B, H, W, 3(+mask)] the matching real frame
+    lpips: Callable,
+    weights: InversionLossWeights,
+    masked: bool,
+):
+    """Per-frame decomposition of `fewshot_image_losses` (video_loss.py:432-445):
+    every term there is a mean over equally-sized frames, so the multi-frame
+    loss equals the mean of these per-frame losses. `masked=True` applies the
+    head-mask composite used for selection indices >= 1; the caller passes
+    False for the first selected frame (full-image loss). Used by the
+    per-frame gradient pipeline (train/loop_inversion.py) whose compiled
+    programs must hold only ONE render forward+backward."""
+    if fake.shape[1] != real.shape[1]:
+        fake = resize_bilinear(fake, (real.shape[1], real.shape[2]))
+    if masked and real.shape[-1] > 3:
+        mask = real[..., -1:]
+        fake = fake * mask + real[..., :3] * (1.0 - mask)
+    real256 = _to256(real[..., :3])
+    fake256 = _to256(fake)
+    losses = {}
+    if weights.l1 > 0:
+        losses["l1"] = jnp.mean(jnp.abs(real256 - fake256))
+    if weights.lpips > 0:
+        losses["lpips"] = lpips(real256, fake256)
+    total = sum(getattr(weights, k) * val for k, val in losses.items())
+    return total, losses
+
+
 def fewshot_ireal_loss(
     inv_run_seq: Callable,
     lpips: Callable,

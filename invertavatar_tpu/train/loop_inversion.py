@@ -756,15 +756,23 @@ class FewshotPrograms:
       encode        e4e W+ codes for frame 0              (IR-SE trunk)
       mapping       z → ws at ψ=0.6 (Igen clip sampling)
       feats         frozen texture/static feature lists   (2 backbones)
-      chunk_inputs  e4e render of one Tc-chunk → inputs   (1 render fwd)
+      chunk_inputs  e4e render of one Tc-chunk → inputs   (host loop, 1-frame program)
       chunk_state   GRU state roll-forward                (2 U-Net fwds)
-      render        frozen-feature render of a Tc-chunk   (1 render fwd)
-      final_render  offsets+SFT render, no grad           (eval / D fakes)
+      render        frozen-feature render of a Tc-chunk   (host loop, 1-frame program)
+      final_render  offsets+SFT render, no grad           (host composition)
       grad          gradient pipeline over 4 jitted pieces:
-                      unets_fwd       (offsets, sft) forward
-                      render_loss_cot loss + d(offsets, static_feats)  [render fwd+bwd]
-                      backbone_vjp    d static_feats → d sft           [backbone fwd+bwd]
-                      unets_vjp       cotangents → param grads         [U-Nets fwd+bwd]
+                      unets_fwd        (offsets, sft) forward
+                      render_loss_cot1 per-frame loss + d(offsets, static_feats)
+                                       [ONE render fwd+bwd; cotangents mean-
+                                        accumulated across frames on host]
+                      backbone_vjp     d static_feats → d sft           [backbone fwd+bwd]
+                      unets_vjp        cotangents → param grads         [U-Nets fwd+bwd]
+
+    Every program that contains a generator render holds it for exactly ONE
+    frame: at the flagship config even a 4-frame render program exceeds v5e
+    HBM at compile time (XLA materializes a 19.3 GB patch tensor for the SR
+    up-conv at B·Tc=4 — see docs/fewshot_tpu_run.json), so the multi-frame
+    contract members are host loops over per-frame jitted programs.
 
     The {6,12,18} multi-T curriculum reuses the same compiled programs — only
     the number of host-side chunk calls changes. Igen supervises every chunk
@@ -778,7 +786,7 @@ class FewshotPrograms:
 
     def __init__(self, net, lpips_fn: Callable, weights: InversionLossWeights,
                  d_module=None):
-        from .inversion import fewshot_feature_losses, fewshot_image_losses
+        from .inversion import fewshot_feature_losses, fewshot_image_loss_frame
 
         self.net = net
         self.weights = weights
@@ -802,11 +810,36 @@ class FewshotPrograms:
             return net.apply({"params": params, **buffers}, ws,
                              method=lambda m, w: m.backbone_feats(w), rngs=_rngs(rng))
 
-        def chunk_inputs(params, buffers, frames, c, v, uv, ws, tex, static, rng):
+        def chunk_inputs1(params, buffers, frames_t, c_t, v_t, uv_t, ws, tex, static, rng):
+            """multiT_chunk_inputs on a single-frame [B, 1, ...] slice — the
+            compiled program holds ONE render regardless of the chunk length.
+            (At B·Tc=4 the whole-chunk program OOM'd HBM at compile: XLA
+            materializes a 19.3 GB patch tensor for the SR up-conv.)"""
             return net.apply(
-                {"params": params, **buffers}, frames, c, v, uv, ws, tex, static,
+                {"params": params, **buffers}, frames_t, c_t, v_t, uv_t, ws, tex, static,
                 method=lambda m, *a: m.multiT_chunk_inputs(*a), rngs=_rngs(rng),
             )
+
+        self._chunk_inputs1 = jax.jit(chunk_inputs1)
+
+        def chunk_inputs(params, buffers, frames, c, v, uv, ws, tex, static, rng):
+            """Host loop over frames; same contract as the whole-chunk program
+            ([B, Tc, ...] uv/tri inputs, flat [B·Tc, ...] e4e image)."""
+            B, Tc = c.shape[:2]
+            uvi = v["uvcoords_image"]
+            outs = [
+                self._chunk_inputs1(
+                    params, buffers, frames[:, t:t + 1], c[:, t:t + 1],
+                    {"uvcoords_image": uvi[:, t:t + 1]}, uv[:, t:t + 1],
+                    ws, tex, static, jax.random.fold_in(rng, t),
+                )
+                for t in range(Tc)
+            ]
+            uv_input = jnp.concatenate([o[0] for o in outs], axis=1)
+            tri_input = jnp.concatenate([o[1] for o in outs], axis=1)
+            e4e = jnp.stack([o[2] for o in outs], axis=1)
+            e4e = e4e.reshape(B * Tc, *e4e.shape[2:])
+            return uv_input, tri_input, e4e
 
         def chunk_state(params, buffers, uv_input, tri_input, r_tex, r_tri, rng):
             return net.apply(
@@ -815,16 +848,10 @@ class FewshotPrograms:
                 rngs=_rngs(rng),
             )
 
-        def render(params, buffers, ws, tex, static, c, v, rng):
-            B, Tc = c.shape[:2]
-            uvi = v["uvcoords_image"]
+        def render1(params, buffers, ws, tex, static, c_t, v_t, rng):
+            """ONE frame through synthesis_withTexture ([B, ...] leaves)."""
             out = net.apply(
-                {"params": params, **buffers},
-                jnp.repeat(ws, Tc, axis=0),
-                [jnp.repeat(f, Tc, axis=0) for f in tex],
-                c.reshape(B * Tc, -1),
-                {"uvcoords_image": uvi.reshape(B * Tc, *uvi.shape[2:])},
-                [jnp.repeat(f, Tc, axis=0) for f in static],
+                {"params": params, **buffers}, ws, tex, c_t, v_t, static,
                 method=lambda m, w, t, cc, vv, s: m.generator.synthesis_withTexture(
                     w, t, cc, vv, static_feats=s, noise_mode="const"
                 ),
@@ -833,14 +860,53 @@ class FewshotPrograms:
             return {"image": out["image"], "feature_image": out["feature_image"],
                     "triplane": out["triplane"]}
 
+        self._render1 = jax.jit(render1)
+
+        def render(params, buffers, ws, tex, static, c, v, rng):
+            """Per-frame host loop; returns flat [B·Tc, ...] leaves (b-major),
+            matching the whole-chunk program's reshape contract."""
+            B, Tc = c.shape[:2]
+            uvi = v["uvcoords_image"]
+            outs = [
+                self._render1(params, buffers, ws, tex, static, c[:, t],
+                              {"uvcoords_image": uvi[:, t]}, jax.random.fold_in(rng, t))
+                for t in range(Tc)
+            ]
+            return {
+                kk: jnp.stack([o[kk] for o in outs], axis=1).reshape(
+                    B * Tc, *outs[0][kk].shape[1:]
+                )
+                for kk in outs[0]
+            }
+
+        def offset_feats(tex, off):
+            return [f + o for f, o in zip(tex, off)] + list(tex[len(off):])
+
+        self._offset_feats = jax.jit(offset_feats)
+
         def final_render(params, buffers, uv_input, tri_input, r_tex, r_tri,
                          ws, tex, static, c_sel, v_sel, rng):
-            out = net.apply(
-                {"params": params, **buffers}, uv_input, tri_input, r_tex, r_tri,
-                ws, tex, static, c_sel, v_sel,
-                method=lambda m, *a: m.multiT_final(*a), rngs=_rngs(rng),
-            )
-            return {"image": out["image"], "feature_image": out["feature_image"]}
+            """multiT_final (uvnet.py) as a host composition of the existing
+            sub-programs — U-Nets once, SFT backbone once, then ONE render per
+            selected frame. Same flat [B·T_out, ...] output contract."""
+            kk = jax.random.fold_in
+            off, sft = self.unets_fwd(params, buffers, uv_input, tri_input,
+                                      r_tex, r_tri, kk(rng, 1))
+            statics = self.backbone_sft(params, buffers, ws, sft, kk(rng, 2))
+            texture_feats = self._offset_feats(tex, off)
+            B, T_out = c_sel.shape[:2]
+            uvi = v_sel["uvcoords_image"]
+            outs = [
+                self._render1(params, buffers, ws, texture_feats, statics,
+                              c_sel[:, t], {"uvcoords_image": uvi[:, t]}, kk(rng, 10 + t))
+                for t in range(T_out)
+            ]
+            return {
+                name: jnp.stack([o[name] for o in outs], axis=1).reshape(
+                    B * T_out, *outs[0][name].shape[1:]
+                )
+                for name in ("image", "feature_image")
+            }
 
         # ---- gradient suffix as a manual chain-rule PIPELINE of four small
         # programs (each contains at most ONE subsystem's forward+backward) —
@@ -871,23 +937,22 @@ class FewshotPrograms:
                 rngs=_rngs(rng),
             )
 
-        def render_loss_cot(params, buffers, tex_offsets, static_feats, ws, tex,
-                            c_sel, v_sel, target, d_params, rng, do_igen: bool):
-            """Loss + cotangents w.r.t. (tex_offsets, static_feats); contains
-            only the render forward+backward."""
-            B, T_out = c_sel.shape[:2]
-            uvi = v_sel["uvcoords_image"]
+        def render_loss_cot1(params, buffers, tex_offsets, static_feats, ws, tex,
+                             c_t, v_t, target_t, d_params, rng,
+                             do_igen: bool, masked: bool):
+            """ONE frame's loss + cotangents w.r.t. (tex_offsets, static_feats);
+            the program contains exactly one render forward+backward. Every
+            loss term is a per-frame mean, so the multi-frame cotangent is the
+            mean of these per-frame cotangents (accumulated in `grad`).
+            `masked` applies the Ireal head-mask composite (selection index
+            >= 1, video_loss.py:439-440)."""
+            B = c_t.shape[0]
 
             def f(args):
                 offsets, statics = args
-                texture_feats = [t + o for t, o in zip(tex, offsets)] + list(tex[len(offsets):])
+                texture_feats = [x + o for x, o in zip(tex, offsets)] + list(tex[len(offsets):])
                 out = net.apply(
-                    {"params": params, **buffers},
-                    jnp.repeat(ws, T_out, axis=0),
-                    [jnp.repeat(x, T_out, axis=0) for x in texture_feats],
-                    c_sel.reshape(B * T_out, -1),
-                    {"uvcoords_image": uvi.reshape(B * T_out, *uvi.shape[2:])},
-                    [jnp.repeat(x, T_out, axis=0) for x in statics],
+                    {"params": params, **buffers}, ws, texture_feats, c_t, v_t, statics,
                     method=lambda m, w, t, cc, vv, s: m.generator.synthesis_withTexture(
                         w, t, cc, vv, static_feats=s, noise_mode="const"
                     ),
@@ -896,11 +961,11 @@ class FewshotPrograms:
                 if do_igen:
                     d_apply = None
                     if d_params is not None and d_module is not None and weights.adv > 0:
-                        c0 = jnp.zeros((B * T_out, c_sel.shape[-1]), c_sel.dtype)
+                        c0 = jnp.zeros((B, c_t.shape[-1]), c_t.dtype)
                         d_apply = lambda pair: d_module.apply({"params": d_params}, pair, c0)
-                    return fewshot_feature_losses(out, target, lpips_fn, weights, d_apply)
-                fake = out["image"].reshape(B, T_out, *out["image"].shape[1:])
-                return fewshot_image_losses(fake, target, lpips_fn, weights)
+                    return fewshot_feature_losses(out, target_t, lpips_fn, weights, d_apply)
+                return fewshot_image_loss_frame(out["image"], target_t, lpips_fn,
+                                                weights, masked)
 
             (_, aux), cot = jax.value_and_grad(f, has_aux=True)((tex_offsets, static_feats))
             return cot, aux
@@ -950,13 +1015,15 @@ class FewshotPrograms:
         self.encode = jax.jit(encode)
         self.mapping = jax.jit(mapping)
         self.feats = jax.jit(feats)
-        self.chunk_inputs = jax.jit(chunk_inputs)
+        self.chunk_inputs = chunk_inputs  # host loop over _chunk_inputs1
         self.chunk_state = jax.jit(chunk_state)
-        self.render = jax.jit(render)
-        self.final_render = jax.jit(final_render)
+        self.render = render  # host loop over _render1
+        self.final_render = final_render  # host composition over sub-programs
         self.unets_fwd = jax.jit(unets_fwd)
         self.backbone_sft = jax.jit(backbone_sft)
-        self.render_loss_cot = jax.jit(render_loss_cot, static_argnames=("do_igen",))
+        self.render_loss_cot1 = jax.jit(
+            render_loss_cot1, static_argnames=("do_igen", "masked")
+        )
         self.backbone_vjp = jax.jit(backbone_vjp)
         self.unets_vjp = jax.jit(unets_vjp)
 
@@ -975,7 +1042,7 @@ class FewshotPrograms:
 
             for _n in ("encode", "mapping", "feats", "chunk_inputs",
                        "chunk_state", "render", "final_render", "unets_fwd",
-                       "backbone_sft", "render_loss_cot", "backbone_vjp",
+                       "backbone_sft", "render_loss_cot1", "backbone_vjp",
                        "unets_vjp"):
                 setattr(self, _n, _timed(_n, getattr(self, _n)))
 
@@ -993,10 +1060,38 @@ class FewshotPrograms:
         off, sft = self.unets_fwd(params, buffers, uv_input, tri_input, r_tex, r_tri,
                                   k(rng, 1))
         statics = self.backbone_sft(params, buffers, ws, sft, k(rng, 2))
-        (cot_off, cot_static), aux = self.render_loss_cot(
-            params, buffers, off, statics, ws, tex, c_sel, v_sel, target, d_params,
-            k(rng, 3), do_igen=do_igen,
-        )
+
+        # Per-frame loss/cotangent accumulation: each loss term is a mean over
+        # equally-sized frames, so mean-of-per-frame cotangents == the
+        # multi-frame cotangent. Keeps the fwd+bwd program at ONE render.
+        B, T_out = c_sel.shape[:2]
+        uvi = v_sel["uvcoords_image"]
+        cot_off = cot_static = None
+        aux: Dict[str, Any] = {}
+        for t in range(T_out):
+            if do_igen:
+                target_t = {
+                    name: val.reshape(B, T_out, *val.shape[1:])[:, t]
+                    for name, val in target.items()
+                }
+            else:
+                target_t = target[:, t]
+            (co, cs), aux_t = self.render_loss_cot1(
+                params, buffers, off, statics, ws, tex,
+                c_sel[:, t], {"uvcoords_image": uvi[:, t]}, target_t, d_params,
+                k(k(rng, 3), t), do_igen=do_igen, masked=(t > 0),
+            )
+            if cot_off is None:
+                cot_off, cot_static, aux = co, cs, aux_t
+            else:
+                cot_off = jax.tree_util.tree_map(jnp.add, cot_off, co)
+                cot_static = jax.tree_util.tree_map(jnp.add, cot_static, cs)
+                aux = {name: aux[name] + v for name, v in aux_t.items()}
+        if T_out > 1:
+            cot_off = jax.tree_util.tree_map(lambda x: x / T_out, cot_off)
+            cot_static = jax.tree_util.tree_map(lambda x: x / T_out, cot_static)
+            aux = {name: v / T_out for name, v in aux.items()}
+
         cot_sft = self.backbone_vjp(params, buffers, ws, sft, cot_static, k(rng, 2))
         grads = self.unets_vjp(
             params, buffers, uv_input, tri_input, r_tex, r_tri, cot_off, cot_sft,

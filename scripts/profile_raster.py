@@ -147,13 +147,57 @@ def main():
     same = np.array_equal(np.asarray(bs_j(t)), np.asarray(bc_j(t)))
     rec["bins_equal"] = bool(same)
 
-    # 3) full rasterize (binning + z-loop as shipped)
-    def rast_full(v):
-        return R.rasterize(v, tri, height=h, width=w, window=window,
-                           faces_per_tile=fpt, cull_backfaces=False)
+    # 2b) top_k binning variant: k smallest member indices per tile
+    def bins_topk(t):
+        tx, ty = t[..., 0], t[..., 1]
+        F = t.shape[0]
+        area2 = (tx[:, 1] - tx[:, 0]) * (ty[:, 2] - ty[:, 0]) - (tx[:, 2] - tx[:, 0]) * (ty[:, 1] - ty[:, 0])
+        valid = jnp.abs(area2) > 1e-12
+        fx0 = jnp.clip(jnp.floor(jnp.min(tx, 1) / tile), 0, tw - 1).astype(jnp.int32)
+        fx1 = jnp.clip(jnp.floor(jnp.max(tx, 1) / tile), 0, tw - 1).astype(jnp.int32)
+        fy0 = jnp.clip(jnp.floor(jnp.min(ty, 1) / tile), 0, th - 1).astype(jnp.int32)
+        fy1 = jnp.clip(jnp.floor(jnp.max(ty, 1) / tile), 0, th - 1).astype(jnp.int32)
 
-    rec["rasterize_total_ms"] = round(timed(jax.jit(rast_full), verts), 3)
-    rec["zloop_ms_estimate"] = round(rec["rasterize_total_ms"] - rec["bins_sort_ms"], 3)
+        def members(ty_i, tx_i):
+            m = (fy0 <= ty_i) & (fy1 >= ty_i) & (fx0 <= tx_i) & (fx1 >= tx_i) & valid
+            vals = jnp.where(m, -jnp.arange(F, dtype=jnp.int32), -F)
+            top, _ = jax.lax.top_k(vals, fpt)  # descending -idx = ascending idx
+            return jnp.where(top == -F, -1, -top)
+
+        ids = jnp.arange(th * tw, dtype=jnp.int32)
+        return jax.vmap(members)(ids // tw, ids % tw)
+
+    bt_j = jax.jit(bins_topk)
+    rec["bins_topk_ms"] = round(timed(bt_j, t), 3)
+    rec["bins_topk_equal"] = bool(np.array_equal(np.asarray(bs_j(t)), np.asarray(bt_j(t))))
+
+    # 2c) actual tile occupancy (how much of faces_per_tile is used)
+    def occupancy(t):
+        tx, ty = t[..., 0], t[..., 1]
+        fx0 = jnp.clip(jnp.floor(jnp.min(tx, 1) / tile), 0, tw - 1).astype(jnp.int32)
+        fx1 = jnp.clip(jnp.floor(jnp.max(tx, 1) / tile), 0, tw - 1).astype(jnp.int32)
+        fy0 = jnp.clip(jnp.floor(jnp.min(ty, 1) / tile), 0, th - 1).astype(jnp.int32)
+        fy1 = jnp.clip(jnp.floor(jnp.max(ty, 1) / tile), 0, th - 1).astype(jnp.int32)
+
+        def count(ty_i, tx_i):
+            return jnp.sum((fy0 <= ty_i) & (fy1 >= ty_i) & (fx0 <= tx_i) & (fx1 >= tx_i))
+
+        ids = jnp.arange(th * tw, dtype=jnp.int32)
+        return jax.vmap(count)(ids // tw, ids % tw)
+
+    occ = np.asarray(jax.jit(occupancy)(t))
+    rec["tile_occupancy"] = {"max": int(occ.max()), "mean": round(float(occ.mean()), 1)}
+
+    # 3) full rasterize (binning + z-loop as shipped) + capacity variants
+    for cap in (1024, 512):
+        def rast_full(v, cap=cap):
+            return R.rasterize(v, tri, height=h, width=w, window=window,
+                               faces_per_tile=cap, cull_backfaces=False)
+
+        rec[f"rasterize_total_fpt{cap}_ms"] = round(timed(jax.jit(rast_full), verts), 3)
+    rec["zloop_ms_estimate"] = round(
+        rec["rasterize_total_fpt1024_ms"] - rec["bins_sort_ms"], 3
+    )
 
     print(json.dumps(rec, indent=2))
     with open(os.path.join(_repo, "docs", "raster_profile.json"), "w") as f:

@@ -33,7 +33,7 @@ from invertavatar_tpu.flagship import example_inputs, flagship_generator, init_f
 #   16x16: 2736   32x8: 2016   64x8: 1640   64x4: 1600   128x4: 1504
 # bigger P also halves/quarters the per-step fixed overhead (DMA issue,
 # march bookkeeping); P=128 variants measured out (overhead dominates).
-CANDIDATES = [None, (64, 4), (64, 8), (32, 8), (128, 4)]
+CANDIDATES = [None, (64, 4), (64, 8), (32, 8), (128, 4), (128, 8), (256, 4)]
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "30"))
 
 
