@@ -154,6 +154,11 @@ def main():
                           fast_uv_warp=True, tile_shape=(64, 4)),
         "rect_64x8": dict(pallas_coarse=True, pooled_importance=True, num_fp16_res=4,
                           fast_uv_warp=True, tile_shape=(64, 8)),
+        # the SHIPPED flagship default (flagship.py tile_shape=(128, 4),
+        # docs/rect_tiles.json 38.75 fps) — this is the variant that gates
+        # the production configuration
+        "rect_128x4": dict(pallas_coarse=True, pooled_importance=True, num_fp16_res=4,
+                           fast_uv_warp=True, tile_shape=(128, 4)),
     }
 
     results = {}
