@@ -31,4 +31,5 @@ step bench 2400 python bench.py && cp /tmp/r3_bench.log docs/bench_r3_headline.l
 step bench_online 2400 python bench_extra.py online
 step bench_batch10 2400 python bench_extra.py batch10
 step fidelity 10800 python scripts/fidelity_flagship.py
+step rect_tiles 3600 python scripts/profile_rect_tiles.py
 echo "=== chain complete $(date +%H:%M:%S)"
