@@ -121,6 +121,10 @@ class FaceverseManager:
             out = rasterize(
                 transformed, tri, height=h, width=w, window=window,
                 faces_per_tile=fpt, cull_backfaces=False,
+                # one-sort anchor binning: the per-tile batched sort was 4.3 of
+                # the raster's 7 ms at this F=59k config (docs/raster_profile
+                # .json); bitwise-equal by tests/test_rasterizer.py
+                binning="anchor",
             )
             rendering = interpolate_attributes(out, face_attrs)  # [h, w, 4] = (u, v, mask, vis)
             render_mask = rendering[..., 3:4] * rendering[..., 2:3]

@@ -44,7 +44,7 @@ def _face_screen_xy(verts_xy: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     return verts_xy[faces]
 
 
-@partial(jax.jit, static_argnames=("height", "width", "tile", "faces_per_tile", "chunk", "cull_backfaces", "map_batch"))
+@partial(jax.jit, static_argnames=("height", "width", "tile", "faces_per_tile", "chunk", "cull_backfaces", "map_batch", "binning", "big_cap"))
 def rasterize(
     verts: jnp.ndarray,  # [V, 3] screen-space (x, y in the window, z for depth)
     faces: jnp.ndarray,  # [F, 3] int32
@@ -56,6 +56,8 @@ def rasterize(
     chunk: int = 256,
     cull_backfaces: bool = True,
     map_batch: Optional[int] = None,  # None = all tiles in one vmap; int = lax.map batch
+    binning: str = "sort",  # "sort" = per-tile batched sort; "anchor" = one 4F-key sort
+    big_cap: int = 128,  # "anchor" only: capacity for faces spanning >2 tiles per axis
 ) -> RasterOut:
     """Rasterize one mesh over a rectangular NDC window."""
     x0, x1, y0, y1 = window
@@ -117,7 +119,54 @@ def rasterize(
             idx = jnp.pad(idx, (0, faces_per_tile - F), constant_values=F)
         return jnp.where(idx == F, -1, idx)
 
-    tile_faces = jax.vmap(tile_members)(t_y, t_x)  # [T, faces_per_tile]
+    def anchor_binning():
+        # The per-tile batched sort above sorts T×F keys (64×59k = 3.8M at the
+        # FaceVerse driving config — 4.3 of the raster's 7 ms). Head-mesh faces
+        # are a few pixels wide, so ~all of them span ≤2 tiles per axis: emit
+        # exactly one entry per (face × covered tile) for that class — ≤4F
+        # keys, ONE sort — and route the rare wide-span faces (silhouette/neck
+        # slivers) through a `big_cap` overflow list appended to every tile
+        # (the z-loop's inside test makes superset candidate lists exact).
+        sy = fy1 - fy0 + 1
+        sx = fx1 - fx0 + 1
+        small = valid_face & (sy <= 2) & (sx <= 2)
+        f_idx = jnp.arange(F, dtype=jnp.int32)
+        E = 4 * F
+        SENT = jnp.int32(2**31 - 1)
+        keys = []
+        for dy in (0, 1):
+            for dx in (0, 1):
+                covered = small & (dy < sy) & (dx < sx)
+                t_id = (fy0 + dy) * tw + (fx0 + dx)
+                c = 2 * dy + dx
+                # key = tile·4F + (4f + c): sorts by tile, then face index —
+                # the same within-tile stable-by-face order as tile_members
+                keys.append(jnp.where(covered, t_id * E + 4 * f_idx + c, SENT))
+        keys = jnp.sort(jnp.concatenate(keys))  # [4F], one sort
+        keys = jnp.pad(keys, (0, faces_per_tile), constant_values=SENT)
+        seg_start = jnp.searchsorted(keys, jnp.arange(n_tiles, dtype=jnp.int32) * E)
+
+        cap_a = max(faces_per_tile - big_cap, 0)
+
+        def tile_list(t_id, start):
+            seg = jax.lax.dynamic_slice(keys, (start,), (cap_a,))
+            ok = seg < (t_id + 1) * E  # entries past this tile's segment masked
+            return jnp.where(ok, (seg - t_id * E) // 4, -1)
+
+        lists_a = jax.vmap(tile_list)(tile_ids, seg_start.astype(jnp.int32))
+
+        # wide-span overflow faces, compacted by one F-length sort
+        big = valid_face & ~small
+        big_idx = jnp.sort(jnp.where(big, f_idx, F))[:big_cap]
+        big_idx = jnp.where(big_idx == F, -1, big_idx)
+        return jnp.concatenate(
+            [lists_a, jnp.broadcast_to(big_idx, (n_tiles, big_cap))], axis=1
+        )
+
+    if binning == "anchor":
+        tile_faces = anchor_binning()  # [T, faces_per_tile]
+    else:
+        tile_faces = jax.vmap(tile_members)(t_y, t_x)  # [T, faces_per_tile]
 
     # --- per-tile z-buffered rasterization -----------------------------------
     pix_in_tile = tile * tile

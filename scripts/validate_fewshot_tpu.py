@@ -121,6 +121,12 @@ def run_stage(net, variables, batch, multiT: bool, frm_per_chunk: int, record: d
     tx = masked_adam(2.5e-5, unet_decoder_trainable, b1=0.5, b2=0.999)
     state = TrainState(variables["params"], tx.init(variables["params"]),
                        {k: v for k, v in variables.items() if k != "params"})
+    # HBM is the binding resource on one v5e chip (16 GB): keep exactly ONE
+    # TrainState live at a time (`variables` aliases state's params/buffers;
+    # the caller drops its reference). A reference copy of one decoder block
+    # suffices for the params-moved check.
+    ref_up2 = [np.asarray(x) for x in jax.tree_util.tree_leaves(
+        state.params["unet_encoder"]["triplane_unet"]["up2"])]
     step = make_fewshot_train_step(net, lambda a, b: jnp.mean(jnp.abs(a - b)), tx, weights,
                                    frm_per_chunk=frm_per_chunk)
     T = batch["c"].shape[1]
@@ -131,34 +137,37 @@ def run_stage(net, variables, batch, multiT: bool, frm_per_chunk: int, record: d
         if multiT else None
     )
 
-    t0 = time.time()
-    s1, aux1 = step(state, batch, jax.random.PRNGKey(1), do_igen=False, multiT=multiT,
-                    fake_idx=fake_idx)
-    jax.block_until_ready(jax.tree_util.tree_leaves(s1.params)[0])
-    record["ireal_step1_s"] = round(time.time() - t0, 1)
-    record["ireal_losses"] = {k: float(v) for k, v in aux1.items()}
+    auxes = {}
 
-    t0 = time.time()
-    s2, aux2 = step(s1, batch, jax.random.PRNGKey(2), do_igen=True, multiT=multiT)
-    jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
-    record["igen_step1_s"] = round(time.time() - t0, 1)
-    record["igen_losses"] = {k: float(v) for k, v in aux2.items()}
+    def phase(name, do_igen, key, fi):
+        nonlocal state
+        t0 = time.time()
+        try:
+            new_state, aux = step(state, batch, jax.random.PRNGKey(key),
+                                  do_igen=do_igen, multiT=multiT, fake_idx=fi)
+            jax.block_until_ready(jax.tree_util.tree_leaves(new_state.params)[0])
+            state = new_state  # drop the previous state's device buffers
+            record[f"{name}_s"] = round(time.time() - t0, 1)
+            record[f"{name}_losses"] = {k: float(v) for k, v in aux.items()}
+            auxes.update(aux)
+            return True
+        except Exception as e:  # noqa: BLE001 — record, continue to next phase
+            record[f"{name}_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+            print(f"[{name}] FAILED: {record[f'{name}_error']}", flush=True)
+            return False
 
-    # warm step (compile cache hot)
-    t0 = time.time()
-    s3, aux3 = step(s2, batch, jax.random.PRNGKey(3), do_igen=False, multiT=multiT,
-                    fake_idx=fake_idx)
-    jax.block_until_ready(jax.tree_util.tree_leaves(s3.params)[0])
-    record["ireal_step2_warm_s"] = round(time.time() - t0, 1)
+    phase("ireal_step1", False, 1, fake_idx)
+    phase("igen_step1", True, 2, None)
+    phase("ireal_step2_warm", False, 3, fake_idx)
 
-    finite = all(np.isfinite(float(v)) for v in {**aux1, **aux2}.values())
+    finite = all(np.isfinite(float(v)) for v in auxes.values()) if auxes else False
     record["finite_losses"] = bool(finite)
     # decoder params moved, trunks frozen
     moved = any(
-        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        np.abs(np.asarray(a) - b).max() > 0
         for a, b in zip(
             jax.tree_util.tree_leaves(state.params["unet_encoder"]["triplane_unet"]["up2"]),
-            jax.tree_util.tree_leaves(s3.params["unet_encoder"]["triplane_unet"]["up2"]),
+            ref_up2,
         )
     )
     record["decoder_params_moved"] = bool(moved)

@@ -127,3 +127,42 @@ def test_zbuffer_ordering():
     hits = fid >= 0
     assert hits.any()
     assert (fid[hits] >= 2).all(), "nearer quad (faces 2,3) must win everywhere"
+
+
+def test_anchor_binning_matches_sort_binning():
+    """binning='anchor' (one 4F-key sort + overflow list) ≡ binning='sort'.
+
+    Random meshes mix tiny faces (span ≤2 tiles — the anchor class) with a few
+    image-spanning ones (the big_cap overflow class); both capacity classes
+    must reproduce the per-tile membership raster exactly."""
+    rng = np.random.RandomState(1)
+    V, H = 60, 64
+    verts = np.stack(
+        [
+            rng.uniform(-1, 1, V),
+            rng.uniform(-1, 1, V),
+            rng.uniform(0.5, 2.0, V),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    # tiny faces: clusters of 3 nearby vertices
+    centers = rng.uniform(-0.9, 0.9, (50, 2))
+    sv = np.concatenate(
+        [centers[:, None, :] + rng.uniform(-0.05, 0.05, (50, 3, 2)),
+         rng.uniform(0.5, 2.0, (50, 3, 1))], axis=-1
+    ).astype(np.float32).reshape(-1, 3)
+    all_verts = np.concatenate([verts, sv])
+    big_faces = rng.randint(0, V, (12, 3)).astype(np.int32)  # span many tiles
+    small_faces = (V + np.arange(150).reshape(50, 3)).astype(np.int32)
+    faces = np.concatenate([big_faces, small_faces])
+
+    for cull in (False, True):
+        a = rasterize(jnp.asarray(all_verts), jnp.asarray(faces), height=H, width=H,
+                      tile=16, faces_per_tile=64, chunk=16, cull_backfaces=cull,
+                      binning="sort")
+        b = rasterize(jnp.asarray(all_verts), jnp.asarray(faces), height=H, width=H,
+                      tile=16, faces_per_tile=64, chunk=16, cull_backfaces=cull,
+                      binning="anchor", big_cap=16)
+        np.testing.assert_array_equal(np.asarray(a.face_id), np.asarray(b.face_id))
+        np.testing.assert_allclose(np.asarray(a.zbuf), np.asarray(b.zbuf), atol=0)
+        np.testing.assert_allclose(np.asarray(a.bary), np.asarray(b.bary), atol=0)
