@@ -27,36 +27,38 @@ import jax.numpy as jnp
 
 def _border_seed(shape) -> jnp.ndarray:
     B, H, W, _ = shape
-    seed = jnp.zeros((B, H, W, 1), jnp.float32)
-    seed = seed.at[:, 0, :, :].set(1.0)
-    seed = seed.at[:, -1, :, :].set(1.0)
-    seed = seed.at[:, :, 0, :].set(1.0)
-    seed = seed.at[:, :, -1, :].set(1.0)
+    seed = jnp.zeros((B, H, W, 1), jnp.bool_)
+    seed = seed.at[:, 0, :, :].set(True)
+    seed = seed.at[:, -1, :, :].set(True)
+    seed = seed.at[:, :, 0, :].set(True)
+    seed = seed.at[:, :, -1, :].set(True)
     return seed
 
 
 def _flood_scan(free: jnp.ndarray, seed: jnp.ndarray, n_rounds: int = 4) -> jnp.ndarray:
-    """Converged 4-connected flood of `seed` through `free` (both 0/1 float).
+    """Converged 4-connected flood of `seed` through `free` (both bool).
 
-    One directional sweep solves the recurrence s_j = free_j * max(s_{j-1}, s_j)
-    along an axis via `associative_scan` over maps f ↦ max(b, a·f), composed as
-    (a₁,b₁)∘(a₂,b₂) = (a₁a₂, max(b₂, a₂b₁)). Four directions per round;
+    One directional sweep solves the recurrence s_j = free_j ∧ (s_{j-1} ∨ s_j)
+    along an axis via `associative_scan` over maps f ↦ b ∨ (a∧f), composed as
+    (a₁,b₁)∘(a₂,b₂) = (a₁∧a₂, b₂ ∨ (a₂∧b₁)). Four directions per round;
     `n_rounds` rounds handle boundaries whose outside region snakes up to
-    n_rounds alternations (faces need 2; 4 leaves margin).
+    n_rounds alternations (faces need 2; 4 leaves margin). Boolean carriers:
+    the 0/1 lattice is exact in any dtype, and bools move 4× less HBM traffic
+    than the former fp32 tropical-affine formulation.
     """
-    state = jnp.minimum(seed, free)
+    state = seed & free
 
     def op(l, r):
         al, bl = l
         ar, br = r
-        return al * ar, jnp.maximum(br, ar * bl)
+        return al & ar, br | (ar & bl)
 
     for _ in range(n_rounds):
         for axis, rev in ((1, False), (1, True), (2, False), (2, True)):
             _, res = jax.lax.associative_scan(
-                op, (free, free * state), axis=axis, reverse=rev
+                op, (free, free & state), axis=axis, reverse=rev
             )
-            state = jnp.maximum(state, res)
+            state = state | res
     return state
 
 
@@ -71,8 +73,8 @@ def fill_mouth(alpha: jnp.ndarray, threshold: float = 0.5) -> Tuple[jnp.ndarray,
         `mouth_mask` is 1 on enclosed interior zeros (reference returns the
         floodFill complement scaled to [0,1]; blur_mouth_edge=False path).
     """
-    free = (alpha.astype(jnp.float32) < threshold).astype(jnp.float32)
+    free = alpha.astype(jnp.float32) < threshold
     outside = _flood_scan(free, _border_seed(alpha.shape))
-    mouth = free * (1.0 - outside)
+    mouth = (free & ~outside).astype(jnp.float32)
     filled = jnp.clip(alpha.astype(jnp.float32) + mouth, 0.0, 1.0)
     return filled, mouth
