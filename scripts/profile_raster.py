@@ -199,6 +199,22 @@ def main():
         rec["rasterize_total_fpt1024_ms"] - rec["bins_sort_ms"], 3
     )
 
+    # 3b) anchor binning (one 4F-key sort; manager default since r3 session 2)
+    for cap in (1024, 512):
+        def rast_anchor(v, cap=cap):
+            return R.rasterize(v, tri, height=h, width=w, window=window,
+                               faces_per_tile=cap, cull_backfaces=False,
+                               binning="anchor")
+
+        out_a = jax.jit(rast_anchor)(verts)
+        out_s = jax.jit(lambda v, cap=cap: R.rasterize(
+            v, tri, height=h, width=w, window=window, faces_per_tile=cap,
+            cull_backfaces=False))(verts)
+        rec[f"anchor_fpt{cap}_equal"] = bool(
+            (np.asarray(out_a.face_id) == np.asarray(out_s.face_id)).all()
+        )
+        rec[f"rasterize_anchor_fpt{cap}_ms"] = round(timed(jax.jit(rast_anchor), verts), 3)
+
     print(json.dumps(rec, indent=2))
     with open(os.path.join(_repo, "docs", "raster_profile.json"), "w") as f:
         json.dump(rec, f, indent=2)
