@@ -123,7 +123,7 @@ def _tent_contract(blk, gy, gx, ys_f, xs_f, *, P, win_r, win_c, C, H, W, exact):
 def _kernel(
     ys_ref,  # scalar prefetch [3, G] int32 window row starts per plane
     xsc_ref,  # scalar prefetch [3, G] int32 col starts × C (flattened cols)
-    planes_ref,  # [3, H, W*C] HBM (row-flattened)
+    planes_ref,  # [3, H, W*C]: HBM (windowed mode) or VMEM block (resident mode)
     gy_ref,  # [1, 3, P] fp32 absolute pixel rows per plane
     gx_ref,  # [1, 3, P]
     w1_ref,  # [C, HID] effective fc0 weight (gain folded)
@@ -131,8 +131,8 @@ def _kernel(
     w2_ref,  # [HID, O] effective fc1 weight
     b2_ref,  # [1, O]
     out_ref,  # [1, P, O]: lane 0 = raw sigma, lanes 1: = clamped-sigmoid rgb
-    win,  # scratch [2, 3, WIN_R, WIN_C*C] double buffer
-    sems,  # DMA semaphores (2, 3)
+    win,  # scratch [2, 3, WIN_R, WIN_C*C] double buffer (None in resident mode)
+    sems,  # DMA semaphores (2, 3) (None in resident mode)
     *,
     win_r: int,
     win_c: int,
@@ -141,11 +141,12 @@ def _kernel(
     H: int,
     W: int,
     exact: bool,
+    resident: bool = False,
 ):
     g = pl.program_id(0)
     G = pl.num_programs(0)
     slot = jax.lax.rem(g, 2)
-    dt = win.dtype
+    dt = planes_ref.dtype
     row_align = 8 if dt == jnp.float32 else 16
 
     def dma(step, sem_slot, p):
@@ -157,15 +158,16 @@ def _kernel(
             sems.at[sem_slot, p],
         )
 
-    @pl.when(g == 0)
-    def _():
-        for p in range(3):
-            dma(0, 0, p).start()
+    if not resident:
+        @pl.when(g == 0)
+        def _():
+            for p in range(3):
+                dma(0, 0, p).start()
 
-    @pl.when(g + 1 < G)
-    def _():
-        for p in range(3):
-            dma(g + 1, 1 - slot, p).start()
+        @pl.when(g + 1 < G)
+        def _():
+            for p in range(3):
+                dma(g + 1, 1 - slot, p).start()
 
     acc = jnp.zeros((P, C), jnp.float32)
     for p in range(3):
@@ -173,9 +175,17 @@ def _kernel(
         xs_f = (xsc_ref[p, g] // C).astype(jnp.float32)
         gy = gy_ref[0, p, :]
         gx = gx_ref[0, p, :]
-        dma(g, slot, p).wait()
+        if resident:
+            # whole plane set lives in VMEM (12.6 MB bf16 at the flagship
+            # geometry): slice the window directly — no DMA, no wait
+            ys_i = pl.multiple_of(ys_ref[p, g], row_align)
+            xsc_i = pl.multiple_of(xsc_ref[p, g], 128)
+            blk = planes_ref[p, pl.ds(ys_i, win_r), pl.ds(xsc_i, win_c * C)]
+        else:
+            dma(g, slot, p).wait()
+            blk = win[slot, p]
         acc = acc + _tent_contract(
-            win[slot, p], gy, gx, ys_f, xs_f,
+            blk, gy, gx, ys_f, xs_f,
             P=P, win_r=win_r, win_c=win_c, C=C, H=H, W=W, exact=exact,
         )
 
@@ -203,20 +213,26 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("win_r", "win_c", "C", "H", "W", "O", "exact", "out_dtype", "interpret"),
+    static_argnames=("win_r", "win_c", "C", "H", "W", "O", "exact", "out_dtype", "interpret",
+                     "resident"),
 )
 def _fused_call(planes3, ys, xsc, gy, gx, w1, b1, w2, b2,
                 win_r: int, win_c: int, C: int, H: int, W: int, O: int, exact: bool,
-                out_dtype=jnp.float32, interpret: bool = False):
+                out_dtype=jnp.float32, interpret: bool = False, resident: bool = False):
     _, G, P = gy.shape  # gy: [3, G, P] -> rearranged to [G, 3, P] blocks
     gy = jnp.transpose(gy, (1, 0, 2))
     gx = jnp.transpose(gx, (1, 0, 2))
     HID = w1.shape[1]
+    H_, WC = planes3.shape[1], planes3.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # planes stay in HBM
+            # resident: one constant VMEM block holding the whole plane set
+            # (fetched once, revisited every step); windowed: planes in HBM
+            pl.BlockSpec((3, H_, WC), lambda g, ys, xsc: (0, 0, 0))
+            if resident
+            else pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 3, P), lambda g, ys, xsc: (g, 0, 0)),
             pl.BlockSpec((1, 3, P), lambda g, ys, xsc: (g, 0, 0)),
             pl.BlockSpec((C, HID), lambda g, ys, xsc: (0, 0)),
@@ -225,14 +241,19 @@ def _fused_call(planes3, ys, xsc, gy, gx, w1, b1, w2, b2,
             pl.BlockSpec((1, O), lambda g, ys, xsc: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, P, O), lambda g, ys, xsc: (g, 0, 0)),
-        scratch_shapes=[
+        scratch_shapes=[]
+        if resident
+        else [
             pltpu.VMEM((2, 3, win_r, win_c * C), planes3.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     kernel = functools.partial(
-        _kernel, win_r=win_r, win_c=win_c, P=P, C=C, H=H, W=W, exact=exact
+        _kernel, win_r=win_r, win_c=win_c, P=P, C=C, H=H, W=W, exact=exact,
+        resident=resident,
     )
+    if resident:
+        kernel = functools.partial(kernel, win=None, sems=None)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -254,6 +275,7 @@ def fused_render_pallas(
     s_group: int = 1,
     return_raw: bool = False,
     interpret: bool = False,
+    resident: bool = False,
 ):
     """Fused windowed sampling + OSG decoder -> (rgb [R,S,out], sigma [R,S,1]).
 
@@ -316,6 +338,7 @@ def fused_render_pallas(
         # bf16 halves the 104 MB Phase-A round-trip (error class = payload)
         out_dtype=jnp.bfloat16 if return_raw else jnp.float32,
         interpret=interpret,
+        resident=resident,
     )  # [T*S_g, P_g, O]
     if return_raw:
         assert s_group == 1
@@ -353,15 +376,22 @@ def _kernel_march(
     W: int,
     Sm: int,
     U: int,
+    resident: bool = False,
 ):
     coarse_refs = rest[:U]
-    (gy_ref, gx_ref, dinfo_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
-     win, sems, cur, prev, acc, sca) = rest[U:]
+    if resident:
+        (gy_ref, gx_ref, dinfo_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+         cur, prev, acc, sca) = rest[U:]
+        win = sems = None
+    else:
+        (gy_ref, gx_ref, dinfo_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+         win, sems, cur, prev, acc, sca) = rest[U:]
     k = pl.program_id(0)
     K = pl.num_programs(0)
+    row_align = 16 if planes_ref.dtype == jnp.bfloat16 else 8
 
     def dma(step, sem_slot, p):
-        ys = pl.multiple_of(ys_ref[p, step], 16 if win.dtype == jnp.bfloat16 else 8)
+        ys = pl.multiple_of(ys_ref[p, step], row_align)
         xsc = pl.multiple_of(xsc_ref[p, step], 128)
         return pltpu.make_async_copy(
             planes_ref.at[p, pl.ds(ys, win_r), pl.ds(xsc, win_c * C)],
@@ -369,22 +399,23 @@ def _kernel_march(
             sems.at[sem_slot, p],
         )
 
-    @pl.when(k == 0)
-    def _():
+    if not resident:
+        @pl.when(k == 0)
+        def _():
+            for u in range(U):
+                @pl.when(isf_ref[u] == 1)
+                def _(u=u):
+                    for p in range(3):
+                        dma(u, fslot_ref[u], p).start()
+
+        nk = jnp.minimum(k + 1, K - 1)
         for u in range(U):
-            @pl.when(isf_ref[u] == 1)
-            def _(u=u):
+            n = nk * U + u
+
+            @pl.when((k + 1 < K) & (isf_ref[n] == 1))
+            def _(n=n):
                 for p in range(3):
-                    dma(u, fslot_ref[u], p).start()
-
-    nk = jnp.minimum(k + 1, K - 1)
-    for u in range(U):
-        n = nk * U + u
-
-        @pl.when((k + 1 < K) & (isf_ref[n] == 1))
-        def _(n=n):
-            for p in range(3):
-                dma(n, fslot_ref[n], p).start()
+                    dma(n, fslot_ref[n], p).start()
 
     for u in range(U):
         gg = k * U + u
@@ -392,14 +423,20 @@ def _kernel_march(
 
         @pl.when(isf_ref[gg] == 1)
         def _(gg=gg, u=u):
-            slot = fslot_ref[gg]
             accf = jnp.zeros((P, C), jnp.float32)
+            slot = None if resident else fslot_ref[gg]
             for p in range(3):
                 ys_f = ys_ref[p, gg].astype(jnp.float32)
                 xs_f = (xsc_ref[p, gg] // C).astype(jnp.float32)
-                dma(gg, slot, p).wait()
+                if resident:
+                    ys_i = pl.multiple_of(ys_ref[p, gg], row_align)
+                    xsc_i = pl.multiple_of(xsc_ref[p, gg], 128)
+                    blk = planes_ref[p, pl.ds(ys_i, win_r), pl.ds(xsc_i, win_c * C)]
+                else:
+                    dma(gg, slot, p).wait()
+                    blk = win[slot, p]
                 accf = accf + _tent_contract(
-                    win[slot, p], gy_ref[u, p, :], gx_ref[u, p, :], ys_f, xs_f,
+                    blk, gy_ref[u, p, :], gx_ref[u, p, :], ys_f, xs_f,
                     P=P, win_r=win_r, win_c=win_c, C=C, H=H, W=W, exact=False,
                 )
             x = accf * (1.0 / 3.0)
@@ -456,23 +493,28 @@ def _kernel_march(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W", "O", "Sm", "U", "interpret")
+    jax.jit, static_argnames=("win_r", "win_c", "C", "H", "W", "O", "Sm", "U", "interpret",
+                              "resident")
 )
 def _merged_call(planes3, ys, xsc, isf, fslot, csrc, coarse, gy, gx, dinfo,
                  w1, b1, w2, b2,
                  win_r: int, win_c: int, C: int, H: int, W: int, O: int, Sm: int,
-                 U: int = 2, interpret: bool = False):
+                 U: int = 2, interpret: bool = False, resident: bool = False):
     _, G, P = gy.shape
     gy = jnp.transpose(gy, (1, 0, 2))  # [G, 3, P]
     gx = jnp.transpose(gx, (1, 0, 2))
     HID = w1.shape[1]
     K = G // U
     dinfo2 = dinfo.reshape(K, U * 8)
+    H_, WC = planes3.shape[1], planes3.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(K,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # planes in HBM
+            # resident: whole plane set as one constant VMEM block
+            pl.BlockSpec((3, H_, WC), lambda k, *s: (0, 0, 0))
+            if resident
+            else pl.BlockSpec(memory_space=pl.ANY),  # planes in HBM
         ]
         + [
             pl.BlockSpec(
@@ -491,9 +533,15 @@ def _merged_call(planes3, ys, xsc, isf, fslot, csrc, coarse, gy, gx, dinfo,
             pl.BlockSpec((1, O), lambda k, *s: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, P, C + 2), lambda k, *s: (k * U // Sm, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2 * U, 3, win_r, win_c * C), planes3.dtype),
-            pltpu.SemaphoreType.DMA((2 * U, 3)),
+        scratch_shapes=(
+            []
+            if resident
+            else [
+                pltpu.VMEM((2 * U, 3, win_r, win_c * C), planes3.dtype),
+                pltpu.SemaphoreType.DMA((2 * U, 3)),
+            ]
+        )
+        + [
             pltpu.VMEM((P, O), jnp.float32),
             pltpu.VMEM((P, O), jnp.float32),
             pltpu.VMEM((P, C), jnp.float32),
@@ -501,7 +549,8 @@ def _merged_call(planes3, ys, xsc, isf, fslot, csrc, coarse, gy, gx, dinfo,
         ],
     )
     kernel = functools.partial(
-        _kernel_march, win_r=win_r, win_c=win_c, P=P, C=C, H=H, W=W, Sm=Sm, U=U
+        _kernel_march, win_r=win_r, win_c=win_c, P=P, C=C, H=H, W=W, Sm=Sm, U=U,
+        resident=resident,
     )
     T = G // Sm
     return pl.pallas_call(
@@ -529,6 +578,7 @@ def fused_merged_march_pallas(
     window: int = 32,
     payload_dtype=jnp.bfloat16,
     interpret: bool = False,
+    resident: bool = False,
 ):
     """Run the merged coarse∪fine pass with the in-kernel march.
 
@@ -590,7 +640,7 @@ def fused_merged_march_pallas(
         coarse_out, gy.reshape(N, G, P), gx.reshape(N, G, P), dinfo,
         w1, b1, w2, b2,
         win_r=win_r, win_c=win_c, C=C, H=H, W=W, O=O, Sm=Sm, U=U,
-        interpret=interpret,
+        interpret=interpret, resident=resident,
     )  # [T, P, C+2]
     out = out.reshape(tsy, tsx, th, tw, C + 2)
     out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(res * res, C + 2)

@@ -459,6 +459,15 @@ class ImportanceRenderer:
         rd_t = group_rays(ray_directions)
         deltas = d_vec[1:] - d_vec[:-1]
 
+        # resident-planes mode: the whole bf16 plane set rides in VMEM and the
+        # kernels slice windows from it directly — no per-step window DMAs.
+        # Bitwise-identical math (same payload dtype, same tent contraction);
+        # gated on fit (~12.6 MB at the flagship 3×256²×32 geometry vs the
+        # v5e 16 MB VMEM, minus march scratch).
+        C_pl = planes.shape[-1]
+        planes_mb = 3 * planes.shape[-3] * planes.shape[-2] * C_pl * 2 / 1e6
+        resident = bool(options.get("resident_planes", False)) and planes_mb <= 13.0
+
         rgbs, deps, wsums = [], [], []
         for b in range(B):
             coords_c = (
@@ -471,6 +480,7 @@ class ImportanceRenderer:
                 planes[b], proj_c, decoder_params, res=res, tile=tile,
                 window=window, return_raw=True,
                 interpret=bool(options.get("pallas_interpret", False)),
+                resident=resident,
             )  # [T*S, P, O]
             sigma = jnp.transpose(raw[:, :, 0].reshape(T, S, -1), (0, 2, 1))  # [T, P, S]
             # per-ray march weights from densities alone (ray_marcher.py:30-43)
@@ -503,6 +513,7 @@ class ImportanceRenderer:
                 planes[b], proj_m, is_fine, src, d_m, raw, decoder_params,
                 res=res, S=S, tile=tile, window=window,
                 interpret=bool(options.get("pallas_interpret", False)),
+                resident=resident,
             )
             rgbs.append(rgb)
             deps.append(dep)

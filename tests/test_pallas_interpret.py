@@ -257,3 +257,22 @@ def test_pallas_tpu_real_kernels():
                      decoder_params=params)
     assert np.abs(np.asarray(rgb) - np.asarray(rgb_ref)).max() < 5e-2
     assert np.abs(np.asarray(dep) - np.asarray(dep_ref)).max() < 5e-2
+
+
+def test_renderer_fused_march_interpret_resident_identical():
+    """resident_planes=True (whole plane set in VMEM, windows sliced in place)
+    must be BITWISE-identical to the windowed-DMA kernels — same payload
+    dtype, same tent contraction; only the data motion differs."""
+    rng = np.random.RandomState(4)
+    planes, decoder, params, ro, rd, opts = _renderer_setup(rng)
+    r = ImportanceRenderer()
+
+    base = dict(opts, pallas_coarse=True, fused_render=True, march_in_kernel=True,
+                pallas_interpret=True)
+    rgb_w, dep_w, ws_w = r(planes, decoder, ro, rd, dict(base), evaluation=True,
+                           decoder_params=params)
+    rgb_r, dep_r, ws_r = r(planes, decoder, ro, rd, dict(base, resident_planes=True),
+                           evaluation=True, decoder_params=params)
+    np.testing.assert_array_equal(np.asarray(rgb_w), np.asarray(rgb_r))
+    np.testing.assert_array_equal(np.asarray(dep_w), np.asarray(dep_r))
+    np.testing.assert_array_equal(np.asarray(ws_w), np.asarray(ws_r))
