@@ -188,29 +188,56 @@ class TriPlaneGenerator(nn.Module):
             jax.devices()[0].platform == "tpu"
         )
 
-        rendering_images = []
+        # Group levels by resolution and warp each group's channel-concat in
+        # ONE grid_sample (bilinear lookup is channel-independent, so this is
+        # exact): the v20 pyramid has two 32² taps (32+512ch) and two 256²
+        # taps (128+32ch) — merging turns the narrow 32-ch gathers (64 B rows,
+        # slice-latency bound) into wide-row gathers and halves the op count.
+        by_res: dict = {}
         for idx, texture in enumerate(texture_feats):
-            res = texture.shape[1]
-            bbox = [round(i * res / 256) for i in bbox_256]
+            by_res.setdefault(texture.shape[1], []).append(idx)
+
+        warped_by_idx = {}
+        alpha_by_res = {}
+        upper_by_res = {}
+        for res, idxs in by_res.items():
+            group = [texture_feats[i] for i in idxs]
+            cat = group[0] if len(group) == 1 else jnp.concatenate(group, axis=-1)
+            alpha_ = alpha if res == grid.shape[1] else resize_bilinear(
+                alpha, (res, res), antialias=True
+            )
             if fast_uv and res < grid.shape[1]:
-                alpha_ = resize_bilinear(alpha, (res, res), antialias=True)
                 g_s = resize_bilinear(grid * alpha, (res, res), antialias=True) / jnp.maximum(
                     alpha_, 1e-4
                 )
-                rendering_feat = grid_sample(texture, g_s)  # [B, res, res, C] fp32
+                warped = grid_sample(cat, g_s)  # [B, res, res, ΣC] fp32
             else:
                 # row gather wins here: the wide-C texture taps (up to 512ch)
                 # give large per-row slices (patch variant measured slower).
                 # Under the fast path, fp32 taps gather as bf16 (half the
                 # traffic; same error class as the bf16 backbone taps).
-                src_tex = (
-                    texture.astype(jnp.bfloat16)
-                    if (fast_uv and texture.dtype == jnp.float32)
-                    else texture
+                src = cat.astype(jnp.bfloat16) if (fast_uv and cat.dtype == jnp.float32) else cat
+                warped = grid_sample(src, grid)  # [B, 256, 256, ΣC] fp32 blend
+                if res != grid.shape[1]:
+                    warped = resize_bilinear(warped, (res, res), antialias=True)
+            off = 0
+            for i in idxs:
+                c = texture_feats[i].shape[-1]
+                warped_by_idx[i] = warped[..., off : off + c]
+                off += c
+            alpha_by_res[res] = alpha_
+            upper_by_res[res] = (
+                upper_alpha if res == grid.shape[1] else resize_bilinear(
+                    upper_alpha, (res, res), antialias=True
                 )
-                warped = grid_sample(src_tex, grid)  # [B, 256, 256, C] fp32 blend
-                rendering_feat = resize_bilinear(warped, (res, res), antialias=True)
-                alpha_ = resize_bilinear(alpha, (res, res), antialias=True)
+            )
+
+        rendering_images = []
+        for idx, texture in enumerate(texture_feats):
+            res = texture.shape[1]
+            bbox = [round(i * res / 256) for i in bbox_256]
+            rendering_feat = warped_by_idx[idx]
+            alpha_ = alpha_by_res[res]
             if static_small is not None:
                 static_feat = static_small[idx]
             else:
@@ -222,7 +249,7 @@ class TriPlaneGenerator(nn.Module):
                 jnp.concatenate(
                     [
                         rendering_feat * alpha_ + static_feat * (1 - alpha_),
-                        resize_bilinear(upper_alpha, (res, res), antialias=True),
+                        upper_by_res[res],
                     ],
                     axis=-1,
                 )
