@@ -162,15 +162,19 @@ def run_stage(net, variables, batch, multiT: bool, frm_per_chunk: int, record: d
 
     finite = all(np.isfinite(float(v)) for v in auxes.values()) if auxes else False
     record["finite_losses"] = bool(finite)
-    # decoder params moved, trunks frozen
-    moved = any(
-        np.abs(np.asarray(a) - b).max() > 0
-        for a, b in zip(
-            jax.tree_util.tree_leaves(state.params["unet_encoder"]["triplane_unet"]["up2"]),
-            ref_up2,
+    # decoder params moved, trunks frozen (fail-safe: a device OOM on the
+    # readback must not lose the phase records already gathered)
+    try:
+        moved = any(
+            np.abs(np.asarray(a) - b).max() > 0
+            for a, b in zip(
+                jax.tree_util.tree_leaves(state.params["unet_encoder"]["triplane_unet"]["up2"]),
+                ref_up2,
+            )
         )
-    )
-    record["decoder_params_moved"] = bool(moved)
+        record["decoder_params_moved"] = bool(moved)
+    except Exception as e:  # noqa: BLE001
+        record["decoder_params_moved_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     return record
 
 
@@ -188,26 +192,35 @@ def main():
     }
     print("backend:", out["backend"], out["device_kind"], flush=True)
 
+    path = os.path.join(_repo, "docs", "fewshot_tpu_run.json")
+
+    def flush_json():
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+        print("wrote", path, flush=True)
+
     if mode in ("all", "--plain-only"):
         print("== shipped config: B=1 T=4 multiT=off (train_textureUnet_video.yaml) ==", flush=True)
         net, variables, batch, init_s = build(T=4)
         rec = {"B": 1, "T": 4, "multiT": False, "init_s": round(init_s, 1)}
-        run_stage(net, variables, batch, multiT=False, frm_per_chunk=4, record=rec)
         out["configs"]["shipped_T4"] = rec
+        try:
+            run_stage(net, variables, batch, multiT=False, frm_per_chunk=4, record=rec)
+        finally:
+            flush_json()
         print(json.dumps(rec), flush=True)
+        del net, variables, batch  # free HBM before the next config
 
     if mode in ("all", "--multiT-only"):
         print("== multi-T probe: B=1 T=12 frm_per_chunk=6 ==", flush=True)
         net, variables, batch, init_s = build(T=12)
         rec = {"B": 1, "T": 12, "multiT": True, "frm_per_chunk": 6, "init_s": round(init_s, 1)}
-        run_stage(net, variables, batch, multiT=True, frm_per_chunk=6, record=rec)
         out["configs"]["multiT_T12"] = rec
+        try:
+            run_stage(net, variables, batch, multiT=True, frm_per_chunk=6, record=rec)
+        finally:
+            flush_json()
         print(json.dumps(rec), flush=True)
-
-    path = os.path.join(_repo, "docs", "fewshot_tpu_run.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=2)
-    print("wrote", path, flush=True)
 
 
 if __name__ == "__main__":
