@@ -37,23 +37,25 @@ def main():
             ws = m.mapping(z, c)
             tex = m.texture_backbone.synthesis(ws, return_list=True, noise_mode="const")
             static = m.backbone.synthesis(ws, return_list=True, noise_mode="const")
-            # frame-independent half of rasterize (models/triplane.py)
+            # frame-independent halves of rasterize (models/triplane.py)
             cache = m.precompute_raster_static(static)
-            return ws, tex, static, cache
+            tex_cat = m.precompute_texture_concat(tex)
+            return ws, tex, static, cache, tex_cat
 
         return G.apply(variables, z, c, method=run)
 
-    ws, tex, static, cache = jax.jit(precompute)(variables, z, c)
+    ws, tex, static, cache, tex_cat = jax.jit(precompute)(variables, z, c)
 
-    def frame(variables, ws, tex, static, cache, c, uvcoords_image):
-        def run(m, ws, tex, static, cache, c, v):
+    def frame(variables, ws, tex, static, cache, tex_cat, c, uvcoords_image):
+        def run(m, ws, tex, static, cache, tex_cat, c, v):
             return m.synthesis_withTexture(
                 ws, tex, c, v, static_feats=static, noise_mode="const", evaluation=True,
-                raster_static_cache=cache,
+                raster_static_cache=cache, texture_concat_cache=tex_cat,
             )["image"]
 
         return G.apply(
-            variables, ws, tex, static, cache, c, {"uvcoords_image": uvcoords_image}, method=run
+            variables, ws, tex, static, cache, tex_cat, c,
+            {"uvcoords_image": uvcoords_image}, method=run,
         )
 
     frame_jit = jax.jit(frame)
@@ -61,14 +63,14 @@ def main():
     import numpy as np
 
     # warmup / compile
-    out = frame_jit(variables, ws, tex, static, cache, c, uvc)
+    out = frame_jit(variables, ws, tex, static, cache, tex_cat, c, uvc)
     np.asarray(out[0, 0, 0, :1])  # block_until_ready is a no-op through the
     # axon relay (docs/PERF_NOTES.md); a scalar readback actually fences
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "30"))
     t0 = time.perf_counter()
     for i in range(n_frames):
-        out = frame_jit(variables, ws, tex, static, cache, c, uvc)
+        out = frame_jit(variables, ws, tex, static, cache, tex_cat, c, uvc)
     np.asarray(out[0, 0, 0, :1])
     dt = time.perf_counter() - t0
     fps = n_frames / dt
@@ -85,7 +87,9 @@ def main():
     mfu = None
     flops = None
     try:
-        cost = frame_jit.lower(variables, ws, tex, static, cache, c, uvc).compile().cost_analysis()
+        cost = frame_jit.lower(
+            variables, ws, tex, static, cache, tex_cat, c, uvc
+        ).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))

@@ -67,31 +67,36 @@ def main(argv=None):
     print("one-shot inversion done", flush=True)
 
     @jax.jit
-    def render_frame(variables, ws, tex, static, cache, c, uvc):
-        def run(m, ws, tex, static, cache, c, v):
+    def render_frame(variables, ws, tex, static, cache, tex_cat, c, uvc):
+        def run(m, ws, tex, static, cache, tex_cat, c, v):
             return m.generator.synthesis_withTexture(
                 ws, tex, c, v, static_feats=static, noise_mode="const", evaluation=True,
-                raster_static_cache=cache,
+                raster_static_cache=cache, texture_concat_cache=tex_cat,
             )["image"]
 
         return net.apply(
-            variables, ws, tex, static, cache, c, {"uvcoords_image": uvc}, method=run
+            variables, ws, tex, static, cache, tex_cat, c,
+            {"uvcoords_image": uvc}, method=run,
         )
 
-    # inverted avatar features are frozen from here on: hoist the static half
-    # of rasterize out of both drive loops (raster_static_cache)
-    cache = jax.jit(
-        lambda v, s: net.apply(
-            v, s, method=lambda m, s_: m.generator.precompute_raster_static(s_)
+    # inverted avatar features are frozen from here on: hoist the frame-
+    # independent halves of rasterize out of both drive loops
+    cache, tex_cat = jax.jit(
+        lambda v, s, t: net.apply(
+            v, s, t,
+            method=lambda m, s_, t_: (
+                m.generator.precompute_raster_static(s_),
+                m.generator.precompute_texture_concat(t_),
+            ),
         )
-    )(variables, static)
+    )(variables, static, tex)
 
     os.makedirs(args.outdir, exist_ok=True)
     drive = load_drive_sequence(args.drive_root, args.max_frames)
     writer = VideoWriter(os.path.join(args.outdir, "oneshot_reenact.mp4"), fps=args.fps)
     for k, frame in enumerate(drive):
         imgf = render_frame(
-            variables, ws, tex, static, cache,
+            variables, ws, tex, static, cache, tex_cat,
             jnp.asarray(frame["c"]), jnp.asarray(frame["uvcoords_image"]),
         )
         writer.append(to_uint8(imgf))
@@ -108,7 +113,7 @@ def main(argv=None):
                 lookat_camera_pose(None, yaw, pitch, jnp.array([0.0, 0.0, 0.2]), radius=2.7)
             ).reshape(1, 16)
             cam = jnp.asarray(np.concatenate([c2w, K], axis=1).astype(np.float32))
-            imgf = render_frame(variables, ws, tex, static, cache, cam, uvc)
+            imgf = render_frame(variables, ws, tex, static, cache, tex_cat, cam, uvc)
             writer.append(to_uint8(imgf))
         writer.close()
         print("wrote oneshot_orbit.mp4")

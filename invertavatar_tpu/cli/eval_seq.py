@@ -84,22 +84,24 @@ def main(argv=None):
         return G.apply(variables, images, uvs, cs, uvcs, ws, tex, static, r_tex, r_tri, method=run)
 
     @jax.jit
-    def render_frame(variables, ws, tex, static, cache, c, uvc):
-        def run(m, ws, tex, static, cache, c, v):
+    def render_frame(variables, ws, tex, static, cache, tex_cat, c, uvc):
+        def run(m, ws, tex, static, cache, tex_cat, c, v):
             return m.generator.synthesis_withTexture(
                 ws, tex, c, v, static_feats=static, noise_mode="const", evaluation=True,
-                raster_static_cache=cache,
+                raster_static_cache=cache, texture_concat_cache=tex_cat,
             )["image"]
 
         return G.apply(
-            variables, ws, tex, static, cache, c, {"uvcoords_image": uvc}, method=run
+            variables, ws, tex, static, cache, tex_cat, c,
+            {"uvcoords_image": uvc}, method=run,
         )
 
     @jax.jit
-    def make_raster_cache(variables, static):
-        return G.apply(
-            variables, static, method=lambda m, s: m.generator.precompute_raster_static(s)
-        )
+    def make_raster_cache(variables, static, tex):
+        def run(m, s, t):
+            return m.generator.precompute_raster_static(s), m.generator.precompute_texture_concat(t)
+
+        return G.apply(variables, static, tex, method=run)
 
     first_img = load_src_frame(src[0])
     ws = encode_first(variables, jnp.asarray(first_img))
@@ -142,13 +144,14 @@ def main(argv=None):
     writer = VideoWriter(out_path, fps=args.fps)
     # the absorbed avatar's features are now frozen: hoist the static half of
     # rasterize out of the drive loop (models/triplane.py raster_static_cache)
-    cache = make_raster_cache(variables, static)
+    cache, tex_cat = make_raster_cache(variables, static, tex)
     for k, frame in enumerate(drive):
         if mgr is not None and frame.get("coeff") is not None:
             uvc = mgr.make_driven_rendering(frame["coeff"])
         else:
             uvc = jnp.asarray(frame["uvcoords_image"])
-        img = render_frame(variables, ws, tex, static, cache, jnp.asarray(frame["c"]), uvc)
+        img = render_frame(variables, ws, tex, static, cache, tex_cat,
+                           jnp.asarray(frame["c"]), uvc)
         writer.append(to_uint8(img))
         if (k + 1) % 20 == 0:
             print(f"drive frame {k + 1}/{len(drive)}", flush=True)

@@ -59,22 +59,24 @@ def main(argv=None):
             ws = m.mapping(z, c, truncation_psi=args.trunc, truncation_cutoff=args.trunc_cutoff)
             tex = m.texture_backbone.synthesis(ws, return_list=True, noise_mode="const")
             static = m.backbone.synthesis(ws, return_list=True, noise_mode="const")
-            # frame-independent half of rasterize, hoisted out of the loop
+            # frame-independent halves of rasterize, hoisted out of the loop
             cache = m.precompute_raster_static(static)
-            return ws, tex, static, cache
+            tex_cat = m.precompute_texture_concat(tex)
+            return ws, tex, static, cache, tex_cat
 
         return G.apply(variables, z, c, method=run)
 
     @jax.jit
-    def render_frame(variables, ws, tex, static, cache, c, uvc):
-        def run(m, ws, tex, static, cache, c, v):
+    def render_frame(variables, ws, tex, static, cache, tex_cat, c, uvc):
+        def run(m, ws, tex, static, cache, tex_cat, c, v):
             return m.synthesis_withTexture(
                 ws, tex, c, v, static_feats=static, noise_mode="const", evaluation=True,
-                raster_static_cache=cache,
+                raster_static_cache=cache, texture_concat_cache=tex_cat,
             )["image"]
 
         return G.apply(
-            variables, ws, tex, static, cache, c, {"uvcoords_image": uvc}, method=run
+            variables, ws, tex, static, cache, tex_cat, c,
+            {"uvcoords_image": uvc}, method=run,
         )
 
     avatars = []
@@ -94,8 +96,8 @@ def main(argv=None):
         c = jnp.asarray(frame["c"])
         uvc = jnp.asarray(frame["uvcoords_image"])
         imgs = [
-            to_uint8(render_frame(variables, ws, tex, static, cache, c, uvc))
-            for (ws, tex, static, cache) in avatars
+            to_uint8(render_frame(variables, ws, tex, static, cache, tex_cat, c, uvc))
+            for (ws, tex, static, cache, tex_cat) in avatars
         ]
         writer.append(layout_grid(imgs, (gw, gh)))
         if (k + 1) % 10 == 0:

@@ -160,6 +160,47 @@ class TriPlaneGenerator(nn.Module):
             out.append(resize_bilinear(crop.astype(jnp.float32), (res, res), antialias=True))
         return out
 
+    def _fast_uv_enabled(self) -> bool:
+        return bool((self.rendering_kwargs or {}).get("fast_uv_warp", False)) and (
+            jax.devices()[0].platform == "tpu"
+        )
+
+    def _texture_group_sources(self, texture_feats: List[jnp.ndarray], grid_res: int):
+        """{resolution: gather source} for the grouped-by-resolution UV warps.
+
+        Each group's channel-concat is built at a COMMON dtype (explicit cast —
+        jnp.concatenate's silent promotion would otherwise gather a stray bf16
+        tap at fp32 width, doubling its HBM traffic) and, on the fast-uv path,
+        full-res fp32 sources are pre-cast to bf16 exactly as `rasterize`'s
+        warp branch would. The pyramid is fixed per compiled avatar, so hot
+        loops hoist this via `precompute_texture_concat`."""
+        fast_uv = self._fast_uv_enabled()
+        by_res: dict = {}
+        for idx, texture in enumerate(texture_feats):
+            by_res.setdefault(texture.shape[1], []).append(idx)
+        sources = {}
+        for res, idxs in by_res.items():
+            group = [texture_feats[i] for i in idxs]
+            if len(group) == 1:
+                cat = group[0]
+            else:
+                common = jnp.result_type(*group)
+                cat = jnp.concatenate([g.astype(common) for g in group], axis=-1)
+            if not (fast_uv and res < grid_res):
+                # full-res warp branch: fp32 taps gather as bf16 under fast-uv
+                # (half the traffic; same error class as the bf16 backbone taps)
+                if fast_uv and cat.dtype == jnp.float32:
+                    cat = cat.astype(jnp.bfloat16)
+            sources[res] = cat
+        return sources
+
+    def precompute_texture_concat(self, texture_feats: List[jnp.ndarray], grid_res: int = 256):
+        """Frame-independent half of the UV warp: the per-resolution
+        channel-concat gather sources (ADVICE r3 — rebuilt per frame
+        otherwise). Pass to `synthesis_withTexture(texture_concat_cache=...)`
+        alongside `raster_static_cache`."""
+        return self._texture_group_sources(texture_feats, grid_res)
+
     def rasterize(
         self,
         texture_feats: List[jnp.ndarray],
@@ -167,6 +208,7 @@ class TriPlaneGenerator(nn.Module):
         static_feats: List[jnp.ndarray],
         bbox_256=BBOX_256,
         static_small: Optional[List[jnp.ndarray]] = None,
+        texture_concat_cache: Optional[dict] = None,
     ):
         """UV-warp texture pyramid + blend with cropped static feats (:317-339)."""
         uvcoords_image = uvcoords_image.astype(jnp.float32)
@@ -184,25 +226,31 @@ class TriPlaneGenerator(nn.Module):
         # ~64× the gather traffic on the 512-ch taps. The downsampled grid is
         # the alpha-weighted cell-mean of the valid UVs, so interior cells are
         # near-exact; fidelity gated by scripts/fidelity_flagship.py.
-        fast_uv = bool((self.rendering_kwargs or {}).get("fast_uv_warp", False)) and (
-            jax.devices()[0].platform == "tpu"
-        )
+        fast_uv = self._fast_uv_enabled()
 
         # Group levels by resolution and warp each group's channel-concat in
         # ONE grid_sample (bilinear lookup is channel-independent, so this is
         # exact): the v20 pyramid has two 32² taps (32+512ch) and two 256²
         # taps (128+32ch) — merging turns the narrow 32-ch gathers (64 B rows,
         # slice-latency bound) into wide-row gathers and halves the op count.
+        # The concat sources are avatar-fixed; hot loops pass them precomputed.
         by_res: dict = {}
         for idx, texture in enumerate(texture_feats):
             by_res.setdefault(texture.shape[1], []).append(idx)
+        sources = (
+            texture_concat_cache
+            if texture_concat_cache is not None
+            else self._texture_group_sources(texture_feats, grid.shape[1])
+        )
 
         warped_by_idx = {}
         alpha_by_res = {}
         upper_by_res = {}
         for res, idxs in by_res.items():
-            group = [texture_feats[i] for i in idxs]
-            cat = group[0] if len(group) == 1 else jnp.concatenate(group, axis=-1)
+            cat = sources[res]
+            assert cat.shape[-1] == sum(texture_feats[i].shape[-1] for i in idxs), (
+                "texture_concat_cache does not match the texture pyramid"
+            )
             alpha_ = alpha if res == grid.shape[1] else resize_bilinear(
                 alpha, (res, res), antialias=True
             )
@@ -213,11 +261,9 @@ class TriPlaneGenerator(nn.Module):
                 warped = grid_sample(cat, g_s)  # [B, res, res, ΣC] fp32
             else:
                 # row gather wins here: the wide-C texture taps (up to 512ch)
-                # give large per-row slices (patch variant measured slower).
-                # Under the fast path, fp32 taps gather as bf16 (half the
-                # traffic; same error class as the bf16 backbone taps).
-                src = cat.astype(jnp.bfloat16) if (fast_uv and cat.dtype == jnp.float32) else cat
-                warped = grid_sample(src, grid)  # [B, 256, 256, ΣC] fp32 blend
+                # give large per-row slices (patch variant measured slower);
+                # the bf16 fast-uv cast already happened in the source build.
+                warped = grid_sample(cat, grid)  # [B, 256, 256, ΣC] fp32 blend
                 if res != grid.shape[1]:
                     warped = resize_bilinear(warped, (res, res), antialias=True)
             off = 0
@@ -371,13 +417,16 @@ class TriPlaneGenerator(nn.Module):
         evaluation: bool = False,
         noise_mode: str = "random",
         raster_static_cache: Optional[List[jnp.ndarray]] = None,
+        texture_concat_cache: Optional[dict] = None,
     ):
         """Same pipeline with precomputed texture/static features — the
         inversion/animation entry point (triplane_v20.py:152-244).
 
         `raster_static_cache` (from `precompute_raster_static`) skips the
-        frame-independent static crop+resize inside `rasterize` — the
-        animation loop's avatar features are fixed, so callers hoist it."""
+        frame-independent static crop+resize inside `rasterize`, and
+        `texture_concat_cache` (from `precompute_texture_concat`) the
+        per-resolution concat of the texture pyramid — the animation loop's
+        avatar features are fixed, so callers hoist both."""
         if static_feats is None:
             static_feats = self.backbone.synthesis(ws, return_list=True, noise_mode=noise_mode)
         static_plane = _to_planes(static_feats[-1])
@@ -386,6 +435,7 @@ class TriPlaneGenerator(nn.Module):
             mesh_condition["uvcoords_image"],
             self._static_feats_for_raster(static_feats),
             static_small=raster_static_cache,
+            texture_concat_cache=texture_concat_cache,
         )
         rendering_stitch = self.face_backbone.synthesis(
             ws, cond_list=rendering_images, noise_mode=noise_mode

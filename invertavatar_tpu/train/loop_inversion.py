@@ -10,7 +10,19 @@ Stage structure:
     Ireal/Igen phase machine over `run_seq` rollouts.
 
 Freezing is expressed with optax.masked (the optimizer-mask idiom replacing
-torch requires_grad toggles). All steps jit under the data mesh.
+torch requires_grad toggles).
+
+Data parallelism (reference trains all three stages at --gpus=8,
+train_inversion.sh; grads flat-all_reduced in encoder_inversion/train.py:63-71
+and training_loop_video.py:433-449): every driver takes an optional
+`mesh` — params/opt states are replicated (NamedSharding P()), batches are
+sharded on the leading axis over the 'data' axis, and XLA inserts the gradient
+all-reduce because every loss is a global batch mean. The few-shot stage's
+host-orchestrated sub-programs (FewshotPrograms) partition the same way:
+each jitted piece sees a batch-sharded [B, ...] operand set and replicated
+params. Exercised on the virtual 8-device CPU mesh by
+tests/test_loop_inversion.py::test_fewshot_step_dp_mesh and
+train/dryrun.py:run_dryrun_inversion (driver contract).
 """
 
 from __future__ import annotations
@@ -375,8 +387,10 @@ def train_e4e(
     id_fn: Optional[Callable] = None,
     max_steps: Optional[int] = None,
     resume_dir: Optional[str] = None,
+    mesh=None,  # jax.sharding.Mesh with a 'data' axis → DP over its devices
 ):
-    """e4e-stage driver (reference encoder_inversion/training_loop.py:129-...)."""
+    """e4e-stage driver (reference encoder_inversion/training_loop.py:129-...;
+    DP at --gpus=8 per train_inversion.sh:7 — here `mesh` shards the batch)."""
     import os
     import time
 
@@ -410,6 +424,15 @@ def train_e4e(
         start_nimg = int(payload["cur_nimg"])
         start_step = int(payload["step_idx"])
 
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+
+        # params/opt replicated; the batch is sharded per step below — XLA
+        # inserts the grad all-reduce (loss is a global batch mean), replacing
+        # the reference's flat-grad all_reduce (train.py:63-71)
+        state = replicate(mesh, state)
+        wd_state = replicate(mesh, wd_state)
+
     step_fn = jax.jit(
         make_e4e_train_step(
             net, wd_module, lpips_fn, id_fn, tx, wd_tx, cfg.weights, cfg.wd_reg_interval
@@ -436,6 +459,10 @@ def train_e4e(
 
     while cur_nimg < cfg.total_kimg * 1000:
         batch = next(batch_iter)
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            batch = shard_batch(mesh, batch)
         state, wd_state, aux = step_fn(
             state, wd_state, batch, jax.random.fold_in(rng, step_idx),
             do_wd_reg=(step_idx % cfg.wd_reg_interval == 0 and cfg.weights.w_discriminator > 0),
@@ -474,6 +501,7 @@ def train_fewshot(
     multiT: Optional[tuple] = (6, 12, 18),
     frm_per_chunk: int = 6,
     resume_dir: Optional[str] = None,
+    mesh=None,  # jax.sharding.Mesh with a 'data' axis → DP over its devices
 ):
     """Few-shot-stage driver (reference training_loop_video.py:129-480).
 
@@ -565,12 +593,29 @@ def train_fewshot(
             payload["d_opt_state"] = d_state.opt_state
         save_orbax(os.path.join(cfg.run_dir, tag), payload)
 
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+
+        # every FewshotPrograms sub-program then runs with replicated params
+        # and a batch-sharded operand set; grads come out replicated (XLA
+        # all-reduces the global-batch-mean losses), mirroring the reference's
+        # flat-grad all_reduce at --gpus=8 (training_loop_video.py:433-449)
+        params = replicate(mesh, params)
+        buffers = replicate(mesh, buffers)
+        opt_states = replicate(mesh, opt_states)
+        if d_state is not None:
+            d_state = replicate(mesh, d_state)
+
     collector = Collector()
     logger = StatsLogger(cfg.run_dir)
     t0 = time.time()
     state = TrainState(params, opt_states["tri"], buffers)
     while (max_steps is None or step_idx < max_steps) and cur_nimg < cfg.total_kimg * 1000:
         batch = next(clip_iter)
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            batch = shard_batch(mesh, batch)
         unet, T, do_r1 = fewshot_phase_schedule(
             step_idx, multiT or (batch["c"].shape[1],) * 3, cfg.wd_reg_interval
         )
@@ -638,9 +683,11 @@ def train_oneshot(
     id_fn: Optional[Callable] = None,
     max_steps: Optional[int] = None,
     resume_dir: Optional[str] = None,
+    mesh=None,  # jax.sharding.Mesh with a 'data' axis → DP over its devices
 ):
     """One-shot-stage driver (reference training_loop_unet_interval.py:356-368):
-    batch-parity phase alternation with per-unet masked optimizers."""
+    batch-parity phase alternation with per-unet masked optimizers; DP at
+    --gpus=8 per train_inversion.sh:48 — here `mesh` shards the batch."""
     import os
     import time
 
@@ -710,11 +757,23 @@ def train_oneshot(
             payload["d_opt_state"] = d_state.opt_state
         save_orbax(os.path.join(cfg.run_dir, tag), payload)
 
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+
+        state = replicate(mesh, state)
+        opt_states = replicate(mesh, opt_states)
+        if d_state is not None:
+            d_state = replicate(mesh, d_state)
+
     collector = Collector()
     logger = StatsLogger(cfg.run_dir)
     t0 = time.time()
     while (max_steps is None or step_idx < max_steps) and cur_nimg < cfg.total_kimg * 1000:
         batch = next(batch_iter)
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            batch = shard_batch(mesh, batch)
         i_phase, unet, d_phase, do_r1 = oneshot_phase_schedule(step_idx, cfg.wd_reg_interval)
         state = TrainState(state.params, opt_states[unet], state.buffers)
         state, d_state, aux = steps[unet](
@@ -770,9 +829,12 @@ class FewshotPrograms:
 
     Every program that contains a generator render holds it for exactly ONE
     frame: at the flagship config even a 4-frame render program exceeds v5e
-    HBM at compile time (XLA materializes a 19.3 GB patch tensor for the SR
-    up-conv at B·Tc=4 — see docs/fewshot_tpu_run.json), so the multi-frame
-    contract members are host loops over per-frame jitted programs.
+    HBM at compile time (the round-3 on-chip attempt died with XLA
+    materializing a 19.3 GB patch tensor for the SR up-conv at B·Tc=4;
+    recorded in scripts/r3_chain2.sh and the per-frame split here), so the
+    multi-frame contract members are host loops over per-frame jitted
+    programs. docs/fewshot_tpu_run.json records the split step executing on
+    the chip.
 
     The {6,12,18} multi-T curriculum reuses the same compiled programs — only
     the number of host-side chunk calls changes. Igen supervises every chunk
@@ -1108,6 +1170,7 @@ def make_fewshot_train_step(
     frm_per_chunk: int = 6,
     programs: Optional[FewshotPrograms] = None,
     d_module=None,
+    donate: bool = False,
 ):
     """One step = one I-phase update (training_loop_video.py:402-429).
 
@@ -1122,10 +1185,24 @@ def make_fewshot_train_step(
         I_module, lpips_fn, weights, d_module=d_module
     )
 
-    @jax.jit
+    # `donate` (opt-in): the old params/opt-state buffers are dead the moment
+    # the update is applied, and at the flagship config a second live param
+    # set is the difference between fitting v5e HBM and the Igen
+    # ResourceExhausted (docs/fewshot_tpu_run.json r4 run 1). Off by default
+    # because donation invalidates the caller's old-params references
+    # (parity tests compare pre/post trees). Buffers are never donated — the
+    # drivers thread one buffers dict across steps.
+    def _update(params, opt_state, grads):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    _update_jit = (
+        jax.jit(_update, donate_argnums=(0, 1)) if donate else jax.jit(_update)
+    )
+
     def apply_fn(state: TrainState, grads):
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        return TrainState(optax.apply_updates(state.params, updates), opt_state, state.buffers)
+        params, opt_state = _update_jit(state.params, state.opt_state, grads)
+        return TrainState(params, opt_state, state.buffers)
 
     def step(state: TrainState, batch: Dict, rng, do_igen: bool = False,
              multiT: bool = False, fake_idx=None, d_params=None):

@@ -93,8 +93,13 @@ def psnr(a, b):
     return 10.0 * np.log10(4.0 / mse)  # images live in [-1, 1]
 
 
-def main():
-    t0 = time.time()
+def build_torch_oracle(t0=None):
+    """Flagship reference generator with the EXACT weight recipe the committed
+    goldens (tests/fixtures/golden_fidelity.npz) were produced from:
+    torch.manual_seed(0) → RefG init → convert_state_dict. Reused by
+    tests/test_fidelity_gate.py to regenerate the JAX variables without
+    committing ~150 MB of weights."""
+    t0 = t0 or time.time()
     torch.manual_seed(0)
     from training_avatar_texture.triplane_v20 import TriPlaneGenerator as RefG
 
@@ -114,6 +119,12 @@ def main():
     rng = np.random.RandomState(7)
     num_ws = g_t.backbone.mapping.num_ws
     ws = rng.randn(1, num_ws, 512).astype(np.float32)
+    return g_t, variables, ws
+
+
+def main():
+    t0 = time.time()
+    g_t, variables, ws = build_torch_oracle(t0)
 
     # the reference jitters ray strata even in evaluation (renderer.py:395-407);
     # pin to mid-stratum to match det_stratified on the JAX side (asserts the
@@ -133,6 +144,24 @@ def main():
             )
             frames_ref.append(out["image"].numpy())
             print(f"[{time.time()-t0:6.1f}s] torch frame {k}", flush=True)
+
+    if "--dump-goldens" in sys.argv:
+        # committed regression fixture (VERDICT r3 #7): the torch frames +
+        # inputs; weights are regenerated by build_torch_oracle at test time
+        fix = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "tests", "fixtures", "golden_fidelity.npz")
+        np.savez_compressed(
+            fix,
+            ws=ws,
+            cameras=np.concatenate([_camera(k) for k in range(N_FRAMES)], axis=0),
+            uvcoords=np.concatenate(
+                [_uvcoords(k) for k in range(N_FRAMES)], axis=0
+            ).astype(np.float16),
+            frames_ref=np.concatenate(frames_ref, axis=0).astype(np.float16),
+        )
+        print(f"[{time.time()-t0:6.1f}s] wrote {fix}", flush=True)
+        if "--goldens-only" in sys.argv:
+            return
 
     # JAX side at the same geometry
     variants = {

@@ -115,20 +115,25 @@ def build(T: int):
     return net, variables, batch, init_s
 
 
-def run_stage(net, variables, batch, multiT: bool, frm_per_chunk: int, record: dict):
+def run_stage(net, holder, batch, multiT: bool, frm_per_chunk: int, record: dict):
+    """`holder` is a single-key dict {'v': variables}; ownership transfers —
+    the entry is popped so the update program's donated old params are truly
+    dead (r4 run 1: the caller's live `variables` binding kept a second
+    flagship param set in HBM and Igen hit ResourceExhausted)."""
+    variables = holder.pop("v")
     weights = InversionLossWeights(l1=1.0, lpips=0.0, id=0.0, raw_l1=1.0, tri=0.001,
                                    lr_lpips=0.0, mouth=0.0, adv=0.0)
     tx = masked_adam(2.5e-5, unet_decoder_trainable, b1=0.5, b2=0.999)
     state = TrainState(variables["params"], tx.init(variables["params"]),
                        {k: v for k, v in variables.items() if k != "params"})
+    del variables  # state aliases the leaves; no second param set stays live
     # HBM is the binding resource on one v5e chip (16 GB): keep exactly ONE
-    # TrainState live at a time (`variables` aliases state's params/buffers;
-    # the caller drops its reference). A reference copy of one decoder block
+    # TrainState live at a time. A reference copy of one decoder block
     # suffices for the params-moved check.
     ref_up2 = [np.asarray(x) for x in jax.tree_util.tree_leaves(
         state.params["unet_encoder"]["triplane_unet"]["up2"])]
     step = make_fewshot_train_step(net, lambda a, b: jnp.mean(jnp.abs(a - b)), tx, weights,
-                                   frm_per_chunk=frm_per_chunk)
+                                   frm_per_chunk=frm_per_chunk, donate=True)
     T = batch["c"].shape[1]
     Tc = min(frm_per_chunk, T) if multiT else T
     npr = np.random.RandomState(0)
@@ -174,6 +179,9 @@ def run_stage(net, variables, batch, multiT: bool, frm_per_chunk: int, record: d
         )
         record["decoder_params_moved"] = bool(moved)
     except Exception as e:  # noqa: BLE001
+        # None (not absent) so consumers can tell infra error from a genuine
+        # "params frozen" False (ADVICE r3)
+        record["decoder_params_moved"] = None
         record["decoder_params_moved_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     return record
 
@@ -193,6 +201,13 @@ def main():
     print("backend:", out["backend"], out["device_kind"], flush=True)
 
     path = os.path.join(_repo, "docs", "fewshot_tpu_run.json")
+    # separate --plain-only / --multiT-only invocations accumulate configs
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                out["configs"] = json.load(f).get("configs", {})
+        except Exception:  # noqa: BLE001 — a truncated file must not block a rerun
+            pass
 
     def flush_json():
         with open(path, "w") as f:
@@ -204,20 +219,29 @@ def main():
         net, variables, batch, init_s = build(T=4)
         rec = {"B": 1, "T": 4, "multiT": False, "init_s": round(init_s, 1)}
         out["configs"]["shipped_T4"] = rec
+        holder = {"v": variables}
+        del variables  # ownership transfers into run_stage (HBM)
         try:
-            run_stage(net, variables, batch, multiT=False, frm_per_chunk=4, record=rec)
+            run_stage(net, holder, batch, multiT=False, frm_per_chunk=4, record=rec)
+        except Exception as e:  # noqa: BLE001 — one config's hard failure must
+            # not skip the remaining configs (ADVICE r3)
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
         finally:
             flush_json()
         print(json.dumps(rec), flush=True)
-        del net, variables, batch  # free HBM before the next config
+        del net, holder, batch  # free HBM before the next config
 
     if mode in ("all", "--multiT-only"):
         print("== multi-T probe: B=1 T=12 frm_per_chunk=6 ==", flush=True)
         net, variables, batch, init_s = build(T=12)
         rec = {"B": 1, "T": 12, "multiT": True, "frm_per_chunk": 6, "init_s": round(init_s, 1)}
         out["configs"]["multiT_T12"] = rec
+        holder = {"v": variables}
+        del variables
         try:
-            run_stage(net, variables, batch, multiT=True, frm_per_chunk=6, record=rec)
+            run_stage(net, holder, batch, multiT=True, frm_per_chunk=6, record=rec)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
         finally:
             flush_json()
         print(json.dumps(rec), flush=True)

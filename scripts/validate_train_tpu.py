@@ -205,30 +205,45 @@ def main():
     }
     print("backend:", out["backend"], out["device_kind"], flush=True)
 
+    path = os.path.join(_repo, "docs", "train_tpu_run.json")
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                out["configs"] = json.load(f).get("configs", {})
+        except Exception:  # noqa: BLE001 — a truncated file must not block a rerun
+            pass
+
+    def flush_json():
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+        print("wrote", path, flush=True)
+
+    # each stage flushes on completion AND on failure so a timeout/OOM in a
+    # later stage never loses an earlier stage's record (lesson from the
+    # round-3 runs that died holding everything in memory)
     if mode in ("all", "e4e"):
         print("== e4e stage: B=1 Ireal+Igen+WD one step ==", flush=True)
         rec = {}
-        run_e4e(rec)
         out["configs"]["e4e_B1"] = rec
+        try:
+            run_e4e(rec)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
         print(json.dumps(rec), flush=True)
 
     if mode in ("all", "oneshot"):
         print("== one-shot stage: B=1 Igen / Ireal steps ==", flush=True)
         rec = {}
-        run_oneshot(rec)
         out["configs"]["oneshot_B1"] = rec
+        try:
+            run_oneshot(rec)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
         print(json.dumps(rec), flush=True)
-
-    path = os.path.join(_repo, "docs", "train_tpu_run.json")
-    prior = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            prior = json.load(f)
-        prior.get("configs", {}).update(out["configs"])
-        out["configs"] = {**prior.get("configs", {}), **out["configs"]}
-    with open(path, "w") as f:
-        json.dump(out, f, indent=2)
-    print("wrote", path, flush=True)
 
 
 if __name__ == "__main__":

@@ -2,14 +2,20 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # exercised without TPU hardware (see SURVEY.md §2.3 / driver contract).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# PYTEST_TPU=1 keeps the real backend so the @pytest.mark.tpu tier (real
+# Mosaic kernels, fidelity gate) can execute on the chip:
+#   PYTEST_TPU=1 python -m pytest -m tpu
+_USE_TPU = bool(os.environ.get("PYTEST_TPU"))
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# The suite is XLA-CPU-compile-bound (single-core hosts). Dial optimization
-# down: ~1.8x faster compiles, numerics unaffected at test tolerances.
-if "xla_backend_optimization_level" not in flags:
-    flags += " --xla_backend_optimization_level=0 --xla_llvm_disable_expensive_passes=true"
+if not _USE_TPU:
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # The suite is XLA-CPU-compile-bound (single-core hosts). Dial optimization
+    # down: ~1.8x faster compiles, numerics unaffected at test tolerances.
+    if "xla_backend_optimization_level" not in flags:
+        flags += " --xla_backend_optimization_level=0 --xla_llvm_disable_expensive_passes=true"
 os.environ["XLA_FLAGS"] = flags
 
 # Persistent compilation cache: repeat runs of the compile-heavy parity tests
@@ -21,7 +27,8 @@ import jax  # noqa: E402
 
 # The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu" at
 # interpreter start; override it back so tests stay on the CPU mesh.
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 # cache even small computations (CPU-mesh tests are dominated by many ~1-min compiles)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -39,3 +46,42 @@ def pytest_configure(config):
         "smoke: <5-min tier on a 1-core host — pure-math + fixture-driven tests, "
         "no live torch oracles, no multi-minute compiles (run: pytest -m smoke)",
     )
+    config.addinivalue_line(
+        "markers",
+        "timeout(seconds): per-test watchdog override (see _per_test_timeout)",
+    )
+
+
+# --- per-test watchdog (VERDICT r3 weak #7: background contention or a hung
+# compile must become a diagnosable failure, not a silent multi-minute stall).
+# pytest-timeout is not in this image; this is its 'thread' method —
+# faulthandler's watchdog thread fires even while the main thread is stuck
+# inside a C extension (an XLA compile), dumps every thread's traceback to
+# stderr and hard-exits. Defaults: 300 s (smoke-tier tests run in seconds;
+# 300 s absorbs a ~3x background-contention slowdown of the slowest ones
+# without false kills on this 1-core host), 1800 s for the slow tier.
+# Override per test with @pytest.mark.timeout(N); disable with
+# PYTEST_TEST_TIMEOUT=0.
+import faulthandler  # noqa: E402
+
+import pytest  # noqa: E402
+
+_DEFAULT_TIMEOUT = float(os.environ.get("PYTEST_TEST_TIMEOUT", "300"))
+_SLOW_TIMEOUT = float(os.environ.get("PYTEST_SLOW_TEST_TIMEOUT", "1800"))
+
+
+@pytest.fixture(autouse=True)
+def _per_test_timeout(request):
+    marker = request.node.get_closest_marker("timeout")
+    if marker is not None and marker.args:
+        seconds = float(marker.args[0])
+    elif request.node.get_closest_marker("slow") is not None:
+        seconds = _SLOW_TIMEOUT
+    else:
+        seconds = _DEFAULT_TIMEOUT
+    if seconds > 0:
+        faulthandler.dump_traceback_later(seconds, exit=True)
+    try:
+        yield
+    finally:
+        faulthandler.cancel_dump_traceback_later()

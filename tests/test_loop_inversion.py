@@ -574,3 +574,99 @@ def _fewshot_driver_body(tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(state_r.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
+def test_fewshot_step_dp_mesh():
+    """DP-sharded few-shot step on the virtual mesh (VERDICT r3 #2).
+
+    Delegates to train/dryrun.py:run_dryrun_inversion — the same entry the
+    driver contract (__graft_entry__.dryrun_multichip) executes at 8 devices —
+    which asserts (a) the clip batch is committed with 'data' on its leading
+    axis, (b) losses are finite, and (c) params after the update are bitwise
+    identical across replicas (the reference's check_ddp_consistency,
+    torch_utils/misc.py:202)."""
+    from invertavatar_tpu.train.dryrun import run_dryrun_inversion
+
+    metrics = run_dryrun_inversion(2, devices=jax.devices()[:2])
+    assert any(k.startswith("Ireal/") for k in metrics)
+    assert any(k.startswith("Igen/") for k in metrics)
+
+
+@pytest.mark.slow
+def test_e4e_step_dp_mesh():
+    """The monolithic e4e train step partitions under a batch-sharded mesh:
+    grads (and therefore updated params) come out replicated because every
+    loss term is a global batch mean (reference trains e4e at --gpus=8,
+    train_inversion.sh:7)."""
+    import optax
+
+    from invertavatar_tpu.models.encoders.e4e import LatentCodesDiscriminator
+    from invertavatar_tpu.models.encoders.uvnet import InversionNet
+    from invertavatar_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from invertavatar_tpu.train.dryrun import TINY_RENDERING_KWARGS, _fake_batch
+    from invertavatar_tpu.train.loop_inversion import (
+        e4e_trainable,
+        make_e4e_train_step,
+        masked_adam,
+    )
+    from invertavatar_tpu.train.state import TrainState
+
+    mesh = make_mesh(devices=jax.devices()[:2])
+    gen_cfg = dict(
+        z_dim=32, c_dim=25, w_dim=512, img_resolution=128, img_channels=3,
+        rendering_kwargs=dict(TINY_RENDERING_KWARGS, depth_resolution=6,
+                              depth_resolution_importance=6),
+        neural_rendering_resolution=32, channel_base=1024, channel_max=64,
+        map_num_layers=2,
+    )
+    net = InversionNet(generator_cfg=gen_cfg)
+    rng = jax.random.PRNGKey(0)
+    rngs = {"params": rng, "buffers": jax.random.fold_in(rng, 1),
+            "noise": jax.random.fold_in(rng, 2), "ray": jax.random.fold_in(rng, 3)}
+    B = 2
+    raw = _fake_batch(np.random.RandomState(0), batch=B, res=256, z_dim=32)
+    batch = {
+        "image": jnp.asarray(raw["image"]),
+        "c": jnp.asarray(raw["c"]),
+        "v": {"uvcoords_image": jnp.asarray(raw["v"]["uvcoords_image"])},
+        "z": jnp.asarray(raw["z"]),
+    }
+    enc_vars = net.init(rngs, jnp.zeros((1, 256, 256, 3)), method=lambda m, x: m.encode(x))
+    gen_vars = net.init(rngs, batch["z"][:1], batch["c"][:1],
+                        {"uvcoords_image": batch["v"]["uvcoords_image"][:1]},
+                        method=lambda m, z, cc, v: m.generator(z, cc, v))
+    params = dict(enc_vars["params"])
+    params["generator"] = gen_vars["params"]["generator"]
+    buffers = {"buffers": {**{k: v for k, v in enc_vars.get("buffers", {}).items()},
+                           "generator": gen_vars["buffers"]["generator"]}}
+    if "batch_stats" in enc_vars:
+        buffers["batch_stats"] = enc_vars["batch_stats"]
+
+    weights = InversionLossWeights(l1=1.0, lpips=0.0, id=0.0, w_delta=0.001,
+                                   w_discriminator=0.01, raw_l1=1.0, tri=0.001)
+    tx = masked_adam(1e-4, e4e_trainable)
+    wd = LatentCodesDiscriminator()
+    wd_tx = optax.adam(2e-5)
+    step = jax.jit(
+        make_e4e_train_step(net, wd, lambda a, b: jnp.mean(jnp.abs(a - b)), None,
+                            tx, wd_tx, weights),
+        static_argnames=("do_wd_reg",),
+    )
+    state = TrainState(params, tx.init(params), buffers)
+    wd_vars = wd.init(jax.random.PRNGKey(1), jnp.zeros((1, 512)))
+    wd_state = TrainState(wd_vars["params"], wd_tx.init(wd_vars["params"]), {})
+
+    state = replicate(mesh, state)
+    wd_state = replicate(mesh, wd_state)
+    batch_dev = shard_batch(mesh, batch)
+    assert batch_dev["image"].sharding.spec[0] == "data"
+
+    s1, wd1, aux = step(state, wd_state, batch_dev, jax.random.PRNGKey(2), do_wd_reg=True)
+    jax.block_until_ready(jax.tree_util.tree_leaves(s1.params)[0])
+    for k, v in aux.items():
+        assert np.isfinite(float(v)), k
+    leaf = jax.tree_util.tree_leaves(s1.params["encoder"])[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    assert len(shards) == 2
+    np.testing.assert_array_equal(shards[0], shards[1])
