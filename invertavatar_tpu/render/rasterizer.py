@@ -44,7 +44,7 @@ def _face_screen_xy(verts_xy: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     return verts_xy[faces]
 
 
-@partial(jax.jit, static_argnames=("height", "width", "tile", "faces_per_tile", "chunk", "cull_backfaces", "map_batch", "binning", "big_cap"))
+@partial(jax.jit, static_argnames=("height", "width", "tile", "faces_per_tile", "chunk", "cull_backfaces", "map_batch", "binning", "big_cap", "exact_cover"))
 def rasterize(
     verts: jnp.ndarray,  # [V, 3] screen-space (x, y in the window, z for depth)
     faces: jnp.ndarray,  # [F, 3] int32
@@ -58,6 +58,10 @@ def rasterize(
     map_batch: Optional[int] = None,  # None = all tiles in one vmap; int = lax.map batch
     binning: str = "sort",  # "sort" = per-tile batched sort; "anchor" = one 4F-key sort
     big_cap: int = 128,  # "anchor" only: capacity for faces spanning >2 tiles per axis
+    exact_cover: bool = False,  # "anchor" only: drop bbox-only candidates by a
+    # separating-edge tri/square test — output-equal (the z-loop's inside test
+    # already makes candidate lists superset-exact); shrinks tile occupancy so
+    # a smaller faces_per_tile cap is safe (docs/raster_profile.json r4)
 ) -> RasterOut:
     """Rasterize one mesh over a rectangular NDC window."""
     x0, x1, y0, y1 = window
@@ -133,10 +137,33 @@ def rasterize(
         f_idx = jnp.arange(F, dtype=jnp.int32)
         E = 4 * F
         SENT = jnp.int32(2**31 - 1)
+
+        def overlaps_square(qx0, qy0):
+            """Exact tri/axis-aligned-square overlap via the 3 edge separating
+            axes ([F] square origins in pixel coords; the 2 axis-aligned
+            separating axes are already covered by the bbox candidate test).
+            Conservative on degenerate edges (zero edge ⇒ no separation)."""
+            cxs = jnp.stack([qx0, qx0 + tile, qx0, qx0 + tile], 1)  # [F, 4]
+            cys = jnp.stack([qy0, qy0, qy0 + tile, qy0 + tile], 1)
+            sep = jnp.zeros(F, bool)
+            for e in range(3):
+                px_, py_ = tx[:, e], ty[:, e]
+                ex = tx[:, (e + 1) % 3] - px_
+                ey = ty[:, (e + 1) % 3] - py_
+                s3 = (tx[:, (e + 2) % 3] - px_) * ey - (ty[:, (e + 2) % 3] - py_) * ex
+                ec = (cxs - px_[:, None]) * ey[:, None] - (cys - py_[:, None]) * ex[:, None]
+                sep |= jnp.all(ec * s3[:, None] < 0, axis=1)
+            return ~sep
+
         keys = []
         for dy in (0, 1):
             for dx in (0, 1):
                 covered = small & (dy < sy) & (dx < sx)
+                if exact_cover:
+                    covered &= overlaps_square(
+                        ((fx0 + dx) * tile).astype(jnp.float32),
+                        ((fy0 + dy) * tile).astype(jnp.float32),
+                    )
                 t_id = (fy0 + dy) * tw + (fx0 + dx)
                 c = 2 * dy + dx
                 # key = tile·4F + (4f + c): sorts by tile, then face index —
@@ -158,6 +185,8 @@ def rasterize(
         # wide-span overflow faces, compacted by one F-length sort
         big = valid_face & ~small
         big_idx = jnp.sort(jnp.where(big, f_idx, F))[:big_cap]
+        if F < big_cap:  # meshes smaller than the overflow capacity
+            big_idx = jnp.pad(big_idx, (0, big_cap - F), constant_values=F)
         big_idx = jnp.where(big_idx == F, -1, big_idx)
         return jnp.concatenate(
             [lists_a, jnp.broadcast_to(big_idx, (n_tiles, big_cap))], axis=1

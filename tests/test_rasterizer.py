@@ -166,3 +166,36 @@ def test_anchor_binning_matches_sort_binning():
         np.testing.assert_array_equal(np.asarray(a.face_id), np.asarray(b.face_id))
         np.testing.assert_allclose(np.asarray(a.zbuf), np.asarray(b.zbuf), atol=0)
         np.testing.assert_allclose(np.asarray(a.bary), np.asarray(b.bary), atol=0)
+
+
+def test_exact_cover_matches_bbox_binning():
+    """exact_cover=True (separating-edge candidate pruning) is output-equal to
+    plain anchor binning: pruned candidates are faces whose triangle cannot
+    touch the tile square, so no pixel-center hit is lost. Thin diagonal
+    slivers exercise the pruning (their bbox covers tiles the triangle
+    misses)."""
+    rng = np.random.RandomState(7)
+    H = 64
+    # thin diagonal slivers + regular tiny faces
+    base = rng.uniform(-0.9, 0.9, (60, 2))
+    d = rng.uniform(-1, 1, (60, 2))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    perp = np.stack([-d[:, 1], d[:, 0]], 1)
+    p0 = base
+    p1 = base + d * rng.uniform(0.2, 0.5, (60, 1))  # long axis: spans tiles
+    p2 = base + perp * rng.uniform(0.002, 0.02, (60, 1))  # very thin
+    sv = np.stack([p0, p1, p2], axis=1)  # [60, 3, 2]
+    z = rng.uniform(0.5, 2.0, (60, 3, 1))
+    verts = np.concatenate([sv, z], axis=-1).astype(np.float32).reshape(-1, 3)
+    faces = np.arange(180).reshape(60, 3).astype(np.int32)
+
+    for cull in (False, True):
+        a = rasterize(jnp.asarray(verts), jnp.asarray(faces), height=H, width=H,
+                      tile=16, faces_per_tile=64, chunk=16, cull_backfaces=cull,
+                      binning="anchor", big_cap=64)
+        b = rasterize(jnp.asarray(verts), jnp.asarray(faces), height=H, width=H,
+                      tile=16, faces_per_tile=64, chunk=16, cull_backfaces=cull,
+                      binning="anchor", big_cap=64, exact_cover=True)
+        np.testing.assert_array_equal(np.asarray(a.face_id), np.asarray(b.face_id))
+        np.testing.assert_allclose(np.asarray(a.zbuf), np.asarray(b.zbuf), atol=0)
+        np.testing.assert_allclose(np.asarray(a.bary), np.asarray(b.bary), atol=0)
