@@ -229,6 +229,161 @@ def make_e4e_train_step(
     return step
 
 
+def make_e4e_grad_programs(
+    E4E_module,
+    wd_module,
+    lpips_fn: Callable,
+    id_fn: Optional[Callable],
+    tx: optax.GradientTransformation,
+    wd_tx: optax.GradientTransformation,
+    weights: InversionLossWeights,
+    donate: bool = False,
+):
+    """HBM-split variant of `make_e4e_train_step` (same math, three programs).
+
+    The monolithic e4e step holds Ireal + Igen + WD in ONE XLA program — at
+    the flagship config that is three generator renders (two with grads back
+    to the encoder through both synthesis backbones) and it ResourceExhausts
+    a 16 GB v5e (docs/train_tpu_run.json r4 run 1). grad(total) decomposes as
+    grad(ireal) + grad(igen) — summing per-phase grads on the host before one
+    optimizer update is bitwise-equivalent up to float add order, and each
+    program now holds at most one render forward+backward.
+
+    Returns step(state, wd_state, batch, rng, do_wd_reg) with the
+    `make_e4e_train_step` contract. The multiview-ID (Ireal_novel) term is
+    not split out here — use the monolithic step for that stage (it only
+    activates in the shipped configs once ArcFace weights exist).
+    """
+    if weights.multiview_id > 0 and id_fn is not None:
+        raise NotImplementedError(
+            "make_e4e_grad_programs does not carry the Ireal_novel phase; "
+            "use make_e4e_train_step when multiview_id > 0"
+        )
+
+    def _rngs(rng):
+        return {"noise": jax.random.fold_in(rng, 0), "ray": jax.random.fold_in(rng, 1)}
+
+    def _enc_gen(params, buffers, rngs):
+        if "generator" in params:
+            params = {**params, "generator": jax.lax.stop_gradient(params["generator"])}
+        variables = {"params": params, **buffers}
+
+        def encode(img):
+            return E4E_module.apply(variables, img, method=lambda m, x: m.encode(x), rngs=rngs)
+
+        def gen_mapping(z, c, truncation_psi=1.0):
+            return E4E_module.apply(
+                variables, z, c,
+                method=lambda m, z, c: m.generator.mapping(z, c, truncation_psi=truncation_psi),
+                rngs=rngs,
+            )
+
+        def gen_synthesis(ws, c, v):
+            return E4E_module.apply(
+                variables, ws, c, v,
+                method=lambda m, ws, c, v: m.generator.synthesis_withTexture(
+                    ws,
+                    m.generator.texture_backbone.synthesis(ws, return_list=True, noise_mode="const"),
+                    c, v,
+                    static_feats=m.generator.backbone.synthesis(ws, return_list=True, noise_mode="const"),
+                    noise_mode="const",
+                ),
+                rngs=rngs,
+            )
+
+        return encode, gen_mapping, gen_synthesis
+
+    def grad_ireal(params, buffers, wd_params, batch, rng):
+        rngs = _rngs(rng)
+        latent_avg = buffers["buffers"]["latent_avg"]
+
+        def f(p):
+            encode, _, gen_synthesis = _enc_gen(p, buffers, rngs)
+            wd_apply = (
+                (lambda w: wd_module.apply({"params": wd_params}, w))
+                if weights.w_discriminator > 0 else None
+            )
+            return e4e_ireal_loss(
+                encode, gen_synthesis, wd_apply, lpips_fn, id_fn, weights,
+                latent_avg, batch["image"], batch["c"], batch["v"],
+            )
+
+        (_, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return grads, {f"Ireal/{k}": v for k, v in aux.items()}
+
+    def grad_igen(params, buffers, wd_params, batch, rng):
+        rngs = _rngs(rng)
+        latent_avg = buffers["buffers"]["latent_avg"]
+
+        def f(p):
+            encode, gen_mapping, gen_synthesis = _enc_gen(p, buffers, rngs)
+            wd_apply = (
+                (lambda w: wd_module.apply({"params": wd_params}, w))
+                if weights.w_discriminator > 0 else None
+            )
+            return e4e_igen_loss(
+                encode, gen_mapping, gen_synthesis, wd_apply, lpips_fn, weights,
+                latent_avg, batch["z"], batch["c"], batch["v"],
+            )
+
+        (_, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return grads, {f"Igen/{k}": v for k, v in aux.items()}
+
+    def _update(params, opt_state, g1, g2):
+        grads = jax.tree_util.tree_map(jnp.add, g1, g2)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def wd_step(params, buffers, wd_state: TrainState, batch, rng, do_wd_reg: bool):
+        rngs = _rngs(rng)
+        variables = {"params": params, **buffers}
+        ws_fake = jax.lax.stop_gradient(
+            E4E_module.apply(variables, batch["image"], method=lambda m, x: m.encode(x), rngs=rngs)
+        )
+        ws_real = jax.lax.stop_gradient(
+            E4E_module.apply(
+                variables, batch["z"], batch["c"],
+                method=lambda m, z, c: m.generator.mapping(z, c, truncation_psi=0.8),
+                rngs=rngs,
+            )
+        )
+
+        def f(wd_params):
+            apply = lambda w: wd_module.apply({"params": wd_params}, w)
+            return wd_losses(apply, ws_fake, ws_real, weights, do_wd_reg)
+
+        (_, wd_aux), wd_grads = jax.value_and_grad(f, has_aux=True)(wd_state.params)
+        wd_updates, wd_opt = wd_tx.update(wd_grads, wd_state.opt_state, wd_state.params)
+        return TrainState(
+            optax.apply_updates(wd_state.params, wd_updates), wd_opt, wd_state.buffers
+        ), wd_aux
+
+    grad_ireal_j = jax.jit(grad_ireal)
+    grad_igen_j = jax.jit(grad_igen)
+    update_j = (
+        jax.jit(_update, donate_argnums=(0, 1)) if donate else jax.jit(_update)
+    )
+    wd_step_j = jax.jit(wd_step, static_argnames=("do_wd_reg",))
+
+    def step(state: TrainState, wd_state: TrainState, batch: Dict, rng,
+             do_wd_reg: bool = False):
+        g1, aux = grad_ireal_j(state.params, state.buffers, wd_state.params, batch, rng)
+        g2, aux_g = grad_igen_j(state.params, state.buffers, wd_state.params, batch, rng)
+        aux = {**aux, **aux_g}
+        params, opt_state = update_j(state.params, state.opt_state, g1, g2)
+        del g1, g2
+        new_state = TrainState(params, opt_state, state.buffers)
+        new_wd_state = wd_state
+        if weights.w_discriminator > 0:
+            new_wd_state, wd_aux = wd_step_j(
+                params, state.buffers, wd_state, batch, rng, do_wd_reg=do_wd_reg
+            )
+            aux.update(wd_aux)
+        return new_state, new_wd_state, aux
+
+    return step
+
+
 def make_oneshot_train_step(
     I_module,  # InversionNet (segformer one-shot variant)
     D_module,  # DualDiscriminator (or None when weights.adv == 0)
@@ -1227,14 +1382,33 @@ def make_fewshot_train_step(
             # synthetic GT clip, one Tc slice at a time (video_loss.py:377-388)
             ws_gen = progs.mapping(params, buffers, batch["z"], vid_c[:, 0], k(1000))
             gt_tex, gt_static = progs.feats(params, buffers, ws_gen, k(1001))
-            targets = [
-                progs.render(params, buffers, ws_gen, gt_tex, gt_static,
-                             sl(vid_c, i), v_sl(i), k(1100 + i))
-                for i in range(n)
-            ]
-            frames = jnp.concatenate(
-                [t["image"].reshape(B, Tc, *t["image"].shape[1:]) for t in targets], axis=1
-            )
+            # HBM plan (docs/fewshot_tpu_run.json r4: T=12 Igen OOMed holding
+            # every chunk's {image, feature_image, triplane} across the whole
+            # grad phase — ~250 MB/chunk at flagship): multi-chunk clips keep
+            # only the target IMAGES here and re-render chunk i's full target
+            # (same rng key ⇒ bitwise-identical) right before its grad, so at
+            # most ONE full target dict is live at a time. Single-chunk clips
+            # (the shipped T=4 unit) keep the original single-render path.
+            lazy_targets = n > 1
+
+            def render_target(i):
+                return progs.render(params, buffers, ws_gen, gt_tex, gt_static,
+                                    sl(vid_c, i), v_sl(i), k(1100 + i))
+
+            if lazy_targets:
+                frame_slices = []
+                for i in range(n):
+                    t = render_target(i)
+                    frame_slices.append(t["image"].reshape(B, Tc, *t["image"].shape[1:]))
+                    del t  # drop feature_image/triplane until the grad loop
+                frames = jnp.concatenate(frame_slices, axis=1)
+                targets = None
+            else:
+                targets = [render_target(i) for i in range(n)]
+                frames = jnp.concatenate(
+                    [t["image"].reshape(B, Tc, *t["image"].shape[1:]) for t in targets],
+                    axis=1,
+                )
             # run_G(ws=None) re-encodes the synthetic frame 0 (video_loss.py:387,299)
             ws = progs.encode(params, buffers, frames[:, 0], k(1002))
         else:
@@ -1260,10 +1434,12 @@ def make_fewshot_train_step(
             grads = None
             aux_acc: Dict[str, Any] = {}
             for i in range(n):
+                target_i = render_target(i) if lazy_targets else targets[i]
                 g, aux = progs.grad(
                     params, buffers, uv_in, tri_in, r_tex, r_tri, ws, tex, static,
-                    sl(vid_c, i), v_sl(i), targets[i], d_params, k(200 + i), do_igen=True,
+                    sl(vid_c, i), v_sl(i), target_i, d_params, k(200 + i), do_igen=True,
                 )
+                del target_i
                 grads = g if grads is None else jax.tree_util.tree_map(jnp.add, grads, g)
                 aux_acc = aux if not aux_acc else {kk: aux_acc[kk] + v for kk, v in aux.items()}
             if n > 1:

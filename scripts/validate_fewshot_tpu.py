@@ -144,6 +144,18 @@ def run_stage(net, holder, batch, multiT: bool, frm_per_chunk: int, record: dict
 
     auxes = {}
 
+    def hbm(name):
+        try:
+            ms = jax.devices()[0].memory_stats() or {}
+            if "bytes_in_use" in ms:
+                record[f"{name}_hbm_gb"] = round(ms["bytes_in_use"] / 2**30, 2)
+                if "peak_bytes_in_use" in ms:
+                    record[f"{name}_hbm_peak_gb"] = round(
+                        ms["peak_bytes_in_use"] / 2**30, 2
+                    )
+        except Exception:  # noqa: BLE001 — telemetry only
+            pass
+
     def phase(name, do_igen, key, fi):
         nonlocal state
         t0 = time.time()
@@ -154,6 +166,7 @@ def run_stage(net, holder, batch, multiT: bool, frm_per_chunk: int, record: dict
             state = new_state  # drop the previous state's device buffers
             record[f"{name}_s"] = round(time.time() - t0, 1)
             record[f"{name}_losses"] = {k: float(v) for k, v in aux.items()}
+            hbm(name)
             auxes.update(aux)
             return True
         except Exception as e:  # noqa: BLE001 — record, continue to next phase

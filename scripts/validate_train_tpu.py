@@ -44,9 +44,24 @@ def _finite(aux):
     return all(np.isfinite(float(v)) for v in aux.values())
 
 
+def _hbm(record, name):
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        if "bytes_in_use" in ms:
+            record[f"{name}_hbm_gb"] = round(ms["bytes_in_use"] / 2**30, 2)
+            if "peak_bytes_in_use" in ms:
+                record[f"{name}_hbm_peak_gb"] = round(ms["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:  # noqa: BLE001 — telemetry only
+        pass
+
+
 def run_e4e(record):
     from invertavatar_tpu.models.encoders.e4e import LatentCodesDiscriminator
-    from invertavatar_tpu.train.loop_inversion import e4e_trainable, make_e4e_train_step, masked_adam
+    from invertavatar_tpu.train.loop_inversion import (
+        e4e_trainable,
+        make_e4e_grad_programs,
+        masked_adam,
+    )
 
     net = InversionNet(generator_cfg=GEN_CFG)
     rng = jax.random.PRNGKey(0)
@@ -87,29 +102,33 @@ def run_e4e(record):
     tx = masked_adam(1e-4, e4e_trainable)
     wd = LatentCodesDiscriminator()
     wd_tx = optax.adam(2e-5)
-    step = jax.jit(
-        make_e4e_train_step(net, wd, lambda a, b: jnp.mean(jnp.abs(a - b)), None,
-                            tx, wd_tx, weights),
-        static_argnames=("do_wd_reg",),
-    )
+    # per-phase grad programs: the monolithic step (Ireal+Igen+WD in one XLA
+    # program) ResourceExhausted the 16 GB v5e at this config — r4 run 1
+    step = make_e4e_grad_programs(net, wd, lambda a, b: jnp.mean(jnp.abs(a - b)), None,
+                                  tx, wd_tx, weights, donate=True)
+    record["step_impl"] = "make_e4e_grad_programs (per-phase HBM split)"
     state = TrainState(params, tx.init(params), buffers)
     wd_vars = wd.init(jax.random.PRNGKey(1), jnp.zeros((1, 512)))
     wd_state = TrainState(wd_vars["params"], wd_tx.init(wd_vars["params"]), {})
+    # donation invalidates state.params after step1 — snapshot to host first
+    e0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params["encoder"])[:8]]
 
     t0 = time.time()
     s1, wd1, aux1 = step(state, wd_state, batch, jax.random.PRNGKey(2), do_wd_reg=True)
     jax.block_until_ready(jax.tree_util.tree_leaves(s1.params)[0])
     record["step1_s"] = round(time.time() - t0, 1)
+    _hbm(record, "step1")
+    del state
     t0 = time.time()
     s2, wd2, aux2 = step(s1, wd1, batch, jax.random.PRNGKey(3), do_wd_reg=False)
     jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
     record["step2_warm_s"] = round(time.time() - t0, 2)
+    _hbm(record, "step2")
     record["losses"] = {k: float(v) for k, v in aux1.items()}
     record["finite_losses"] = _finite(aux1) and _finite(aux2)
-    e0 = jax.tree_util.tree_leaves(state.params["encoder"])
-    e1 = jax.tree_util.tree_leaves(s2.params["encoder"])
+    e1 = jax.tree_util.tree_leaves(s2.params["encoder"])[:8]
     record["encoder_params_moved"] = bool(
-        any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(e0, e1))
+        any(np.abs(a - np.asarray(b)).max() > 0 for a, b in zip(e0, e1))
     )
     return record
 
@@ -168,25 +187,33 @@ def run_oneshot(record):
     )
     state = TrainState(variables["params"], tx.init(variables["params"]),
                        {k: v for k, v in variables.items() if k != "params"})
+    del variables, gen_vars
+    t0l = [np.asarray(x) for x in
+           jax.tree_util.tree_leaves(state.params["unet_encoder"]["texture_unet"])[:8]]
 
     t0 = time.time()
     s1, _, aux1 = step(state, None, batch, jax.random.PRNGKey(1), phase="Igen")
     jax.block_until_ready(jax.tree_util.tree_leaves(s1.params)[0])
     record["igen_step1_s"] = round(time.time() - t0, 1)
+    _hbm(record, "igen_step1")
+    del state
     t0 = time.time()
     s2, _, aux2 = step(s1, None, batch, jax.random.PRNGKey(2), phase="Ireal")
     jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
     record["ireal_step1_s"] = round(time.time() - t0, 1)
+    _hbm(record, "ireal_step1")
+    del s1
     t0 = time.time()
     s3, _, aux3 = step(s2, None, batch, jax.random.PRNGKey(3), phase="Igen")
     jax.block_until_ready(jax.tree_util.tree_leaves(s3.params)[0])
     record["igen_step2_warm_s"] = round(time.time() - t0, 2)
+    _hbm(record, "igen_step2")
+    del s2
     record["losses"] = {k: float(v) for k, v in {**aux1, **aux2}.items()}
     record["finite_losses"] = _finite(aux1) and _finite(aux2) and _finite(aux3)
-    t0l = jax.tree_util.tree_leaves(state.params["unet_encoder"]["texture_unet"])
-    t1l = jax.tree_util.tree_leaves(s3.params["unet_encoder"]["texture_unet"])
+    t1l = jax.tree_util.tree_leaves(s3.params["unet_encoder"]["texture_unet"])[:8]
     record["texture_unet_moved"] = bool(
-        any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(t0l, t1l))
+        any(np.abs(a - np.asarray(b)).max() > 0 for a, b in zip(t0l, t1l))
     )
     return record
 

@@ -69,19 +69,15 @@ def test_fewshot_losses_with_mock_model():
     assert np.all(np.isfinite(np.asarray(g))) and np.abs(np.asarray(g)).max() > 0
 
 
-@pytest.mark.slow
-def test_e4e_step_tiny():
-    """One jitted e4e step over the tiny dryrun generator (compiles Ireal+Igen+WD)."""
+def _tiny_e4e_setup():
+    """Shared tiny-generator e4e fixture: (net, state, wd, wd_state, batch,
+    tx, wd_tx, weights)."""
     import optax
 
     from invertavatar_tpu.models.encoders.e4e import LatentCodesDiscriminator
     from invertavatar_tpu.models.encoders.uvnet import InversionNet
     from invertavatar_tpu.train.dryrun import TINY_RENDERING_KWARGS, _fake_batch
-    from invertavatar_tpu.train.loop_inversion import (
-        e4e_trainable,
-        make_e4e_train_step,
-        masked_adam,
-    )
+    from invertavatar_tpu.train.loop_inversion import e4e_trainable, masked_adam
     from invertavatar_tpu.train.state import TrainState
 
     gen_cfg = dict(
@@ -126,12 +122,20 @@ def test_e4e_step_tiny():
     tx = masked_adam(1e-4, e4e_trainable)
     wd = LatentCodesDiscriminator()
     wd_tx = optax.adam(2e-5)
-    step = make_e4e_train_step(net, wd, lambda a, b: jnp.mean(jnp.abs(a - b)), None,
-                               tx, wd_tx, weights)
-
     state = TrainState(params, tx.init(params), buffers)
     wd_vars = wd.init(jax.random.PRNGKey(1), jnp.zeros((1, 512)))
     wd_state = TrainState(wd_vars["params"], wd_tx.init(wd_vars["params"]), {})
+    return net, state, wd, wd_state, batch, tx, wd_tx, weights
+
+
+@pytest.mark.slow
+def test_e4e_step_tiny():
+    """One jitted e4e step over the tiny dryrun generator (compiles Ireal+Igen+WD)."""
+    from invertavatar_tpu.train.loop_inversion import make_e4e_train_step
+
+    net, state, wd, wd_state, batch, tx, wd_tx, weights = _tiny_e4e_setup()
+    step = make_e4e_train_step(net, wd, lambda a, b: jnp.mean(jnp.abs(a - b)), None,
+                               tx, wd_tx, weights)
 
     new_state, new_wd, aux = jax.jit(step, static_argnames=("do_wd_reg",))(
         state, wd_state, batch, jax.random.PRNGKey(2), do_wd_reg=True
@@ -150,6 +154,41 @@ def test_e4e_step_tiny():
     wd0 = jax.tree_util.tree_leaves(wd_state.params)
     wd1 = jax.tree_util.tree_leaves(new_wd.params)
     assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(wd0, wd1))
+
+
+@pytest.mark.slow
+def test_e4e_grad_programs_parity():
+    """The per-phase HBM split (make_e4e_grad_programs) matches the monolithic
+    step: grad(ireal+igen) == grad(ireal)+grad(igen) up to float add order, so
+    one step from the same state must land on (numerically) the same params.
+    The split is what runs on the 16 GB v5e — docs/train_tpu_run.json."""
+    from invertavatar_tpu.train.loop_inversion import (
+        make_e4e_grad_programs,
+        make_e4e_train_step,
+    )
+
+    net, state, wd, wd_state, batch, tx, wd_tx, weights = _tiny_e4e_setup()
+    lpips = lambda a, b: jnp.mean(jnp.abs(a - b))
+    mono = jax.jit(make_e4e_train_step(net, wd, lpips, None, tx, wd_tx, weights),
+                   static_argnames=("do_wd_reg",))
+    split = make_e4e_grad_programs(net, wd, lpips, None, tx, wd_tx, weights)
+
+    rng = jax.random.PRNGKey(2)
+    m_state, m_wd, m_aux = mono(state, wd_state, batch, rng, do_wd_reg=True)
+    s_state, s_wd, s_aux = split(state, wd_state, batch, rng, do_wd_reg=True)
+
+    for k in m_aux:
+        np.testing.assert_allclose(float(m_aux[k]), float(s_aux[k]), rtol=2e-4,
+                                   atol=1e-6, err_msg=k)
+    fm = jax.tree_util.tree_flatten_with_path(m_state.params)[0]
+    fs = jax.tree_util.tree_flatten_with_path(s_state.params)[0]
+    for (pm, am), (ps, bs) in zip(fm, fs):
+        assert pm == ps
+        np.testing.assert_allclose(np.asarray(am), np.asarray(bs), rtol=1e-4,
+                                   atol=1e-5, err_msg=jax.tree_util.keystr(pm))
+    for a, b in zip(jax.tree_util.tree_leaves(m_wd.params),
+                    jax.tree_util.tree_leaves(s_wd.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-6)
 
 
 @pytest.mark.slow
