@@ -260,11 +260,15 @@ class InversionNet(nn.Module):
         static = self.generator.backbone.synthesis(ws, return_list=True, noise_mode="const")
         return tex, static
 
-    def multiT_chunk_inputs(self, frames, c, v, uv, ws, tex, static):
+    def multiT_chunk_inputs(self, frames, c, v, uv, ws, tex, static,
+                            nograd_render=None):
         """One chunk's U-Net inputs (video_loss.py:308-318, under no_grad):
         e4e render of the chunk → Δx → (uv_input, tri_input, e4e_img).
 
         frames/uv: [B, Tc, ...]; c: [B, Tc, ·]; v['uvcoords_image']: [B, Tc, ...].
+        `nograd_render` (a train.fast_render override dict) routes the e4e
+        render — no-grad per the reference semantics — through the structured
+        eval fast paths.
         """
         B, Tc = c.shape[:2]
         vid_ws = jnp.repeat(ws, Tc, axis=0)
@@ -277,7 +281,9 @@ class InversionNet(nn.Module):
         flat_v = {"uvcoords_image": uvi.reshape(B * Tc, *uvi.shape[2:])}
         frames_flat = frames.reshape(B * Tc, *frames.shape[2:])
         e4e_img = self.generator.synthesis_withTexture(
-            vid_ws, rep(tex), flat_c, flat_v, static_feats=rep(static), noise_mode="const"
+            vid_ws, rep(tex), flat_c, flat_v, static_feats=rep(static), noise_mode="const",
+            evaluation=nograd_render is not None,
+            rendering_overrides=nograd_render,
         )["image"]
         if e4e_img.shape[1] != frames_flat.shape[1]:
             e4e_img = resize_bilinear(e4e_img, frames_flat.shape[1:3], antialias=True)

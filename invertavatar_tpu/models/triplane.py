@@ -332,7 +332,8 @@ class TriPlaneGenerator(nn.Module):
         return out
 
     def _render_core(
-        self, ws, c, rendering_stitch, full_alpha, static_plane, evaluation, noise_mode, rng
+        self, ws, c, rendering_stitch, full_alpha, static_plane, evaluation, noise_mode, rng,
+        rendering_overrides: Optional[Dict] = None,
     ):
         rk = dict(self.rendering_kwargs or {})
         # the shipped ImportanceRenderer_bsMotion ignores the config's numeric
@@ -340,6 +341,11 @@ class TriPlaneGenerator(nn.Module):
         # (renderer.py:311-313); strip them so the shared renderer does too
         rk.pop("ray_start", None)
         rk.pop("ray_end", None)
+        if rendering_overrides:
+            # per-call sampling/kernel routing overrides (e.g. the inversion
+            # training loops' no-grad renders take the structured fast paths
+            # regardless of the training config — train/fast_render.py)
+            rk.update(rendering_overrides)
         cam = c[:, -25:]
         cam2world = cam[:, :16].reshape(-1, 4, 4)
         intrinsics = cam[:, 16:25].reshape(-1, 3, 3)
@@ -384,6 +390,7 @@ class TriPlaneGenerator(nn.Module):
         evaluation: bool = False,
         noise_mode: str = "random",
         return_featmap: bool = False,
+        rendering_overrides: Optional[Dict] = None,
     ):
         """Full forward (triplane_v20.py:89-150)."""
         texture_feats = self.texture_backbone.synthesis(ws, return_list=True, noise_mode=noise_mode)
@@ -399,7 +406,8 @@ class TriPlaneGenerator(nn.Module):
             ws, cond_list=rendering_images, noise_mode=noise_mode
         )
         out = self._render_core(
-            ws, c, rendering_stitch, full_alpha, static_plane, evaluation, noise_mode, self._rng()
+            ws, c, rendering_stitch, full_alpha, static_plane, evaluation, noise_mode, self._rng(),
+            rendering_overrides=rendering_overrides,
         )
         if return_featmap:
             out["texture"] = texture_feats
@@ -418,6 +426,7 @@ class TriPlaneGenerator(nn.Module):
         noise_mode: str = "random",
         raster_static_cache: Optional[List[jnp.ndarray]] = None,
         texture_concat_cache: Optional[dict] = None,
+        rendering_overrides: Optional[Dict] = None,
     ):
         """Same pipeline with precomputed texture/static features — the
         inversion/animation entry point (triplane_v20.py:152-244).
@@ -441,7 +450,8 @@ class TriPlaneGenerator(nn.Module):
             ws, cond_list=rendering_images, noise_mode=noise_mode
         )
         return self._render_core(
-            ws, c, rendering_stitch, full_alpha, static_plane, evaluation, noise_mode, self._rng()
+            ws, c, rendering_stitch, full_alpha, static_plane, evaluation, noise_mode, self._rng(),
+            rendering_overrides=rendering_overrides,
         )
 
     def synthesis_withCondition(

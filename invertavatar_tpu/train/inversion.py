@@ -69,10 +69,18 @@ def e4e_igen_loss(
     weights: InversionLossWeights,
     latent_avg: jnp.ndarray,
     z, c, v,
+    gen_synthesis_target: Optional[Callable] = None,
 ):
-    """Igen (w_loss.py:99-158): invert a generated image; feature-exact supervision."""
+    """Igen (w_loss.py:99-158): invert a generated image; feature-exact supervision.
+
+    `gen_synthesis_target` (optional) renders the stop-gradient target; the
+    training loops pass a structured-fast-path closure here (the target is
+    no-grad — train/fast_render.py) while the student render keeps the
+    differentiable formulation."""
     ws_gen = jax.lax.stop_gradient(gen_mapping(z, c, truncation_psi=0.6))
-    gen_out = jax.lax.stop_gradient(gen_synthesis(ws_gen, c, v))
+    gen_out = jax.lax.stop_gradient(
+        (gen_synthesis_target or gen_synthesis)(ws_gen, c, v)
+    )
     ws_pred = e4e_apply(_to256(gen_out["image"]))
     i_out = gen_synthesis(ws_pred, c, v)
 

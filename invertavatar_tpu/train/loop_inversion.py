@@ -238,6 +238,8 @@ def make_e4e_grad_programs(
     wd_tx: optax.GradientTransformation,
     weights: InversionLossWeights,
     donate: bool = False,
+    fast_igen_target: str = "off",
+    fast_interpret: bool = False,
 ):
     """HBM-split variant of `make_e4e_train_step` (same math, three programs).
 
@@ -259,6 +261,9 @@ def make_e4e_grad_programs(
             "make_e4e_grad_programs does not carry the Ireal_novel phase; "
             "use make_e4e_train_step when multiview_id > 0"
         )
+    from .fast_render import nograd_overrides
+
+    igen_target_ov = nograd_overrides(fast_igen_target, interpret=fast_interpret)
 
     def _rngs(rng):
         return {"noise": jax.random.fold_in(rng, 0), "ray": jax.random.fold_in(rng, 1)}
@@ -278,7 +283,7 @@ def make_e4e_grad_programs(
                 rngs=rngs,
             )
 
-        def gen_synthesis(ws, c, v):
+        def _synthesis(ws, c, v, overrides=None):
             return E4E_module.apply(
                 variables, ws, c, v,
                 method=lambda m, ws, c, v: m.generator.synthesis_withTexture(
@@ -287,18 +292,27 @@ def make_e4e_grad_programs(
                     c, v,
                     static_feats=m.generator.backbone.synthesis(ws, return_list=True, noise_mode="const"),
                     noise_mode="const",
+                    evaluation=overrides is not None,
+                    rendering_overrides=overrides,
                 ),
                 rngs=rngs,
             )
 
-        return encode, gen_mapping, gen_synthesis
+        def gen_synthesis(ws, c, v):
+            return _synthesis(ws, c, v)
+
+        gen_synthesis_target = (
+            (lambda ws, c, v: _synthesis(ws, c, v, overrides=igen_target_ov))
+            if igen_target_ov is not None else None
+        )
+        return encode, gen_mapping, gen_synthesis, gen_synthesis_target
 
     def grad_ireal(params, buffers, wd_params, batch, rng):
         rngs = _rngs(rng)
         latent_avg = buffers["buffers"]["latent_avg"]
 
         def f(p):
-            encode, _, gen_synthesis = _enc_gen(p, buffers, rngs)
+            encode, _, gen_synthesis, _ = _enc_gen(p, buffers, rngs)
             wd_apply = (
                 (lambda w: wd_module.apply({"params": wd_params}, w))
                 if weights.w_discriminator > 0 else None
@@ -316,7 +330,7 @@ def make_e4e_grad_programs(
         latent_avg = buffers["buffers"]["latent_avg"]
 
         def f(p):
-            encode, gen_mapping, gen_synthesis = _enc_gen(p, buffers, rngs)
+            encode, gen_mapping, gen_synthesis, gen_target = _enc_gen(p, buffers, rngs)
             wd_apply = (
                 (lambda w: wd_module.apply({"params": wd_params}, w))
                 if weights.w_discriminator > 0 else None
@@ -324,6 +338,7 @@ def make_e4e_grad_programs(
             return e4e_igen_loss(
                 encode, gen_mapping, gen_synthesis, wd_apply, lpips_fn, weights,
                 latent_avg, batch["z"], batch["c"], batch["v"],
+                gen_synthesis_target=gen_target,
             )
 
         (_, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
@@ -392,10 +407,20 @@ def make_oneshot_train_step(
     tx: optax.GradientTransformation,  # masked (tex- or tri-unet) optimizer
     d_tx: Optional[optax.GradientTransformation],
     weights: InversionLossWeights,
+    fast_igen_target: str = "off",
+    fast_interpret: bool = False,
 ):
     """One-shot U-Net stage step (reference training_loop_unet_interval.py
     :356-368 + unet_loss.py). `phase` is static: 'Igen' | 'Ireal' alternating
-    by batch parity; D phases run when `weights.adv > 0`."""
+    by batch parity; D phases run when `weights.adv > 0`.
+
+    `fast_igen_target` routes the Igen phase's stop-gradient target render
+    (unet_loss.py:99-110) through the structured fast paths
+    (train/fast_render.py); the student render keeps the differentiable
+    formulation."""
+    from .fast_render import nograd_overrides
+
+    igen_target_ov = nograd_overrides(fast_igen_target, interpret=fast_interpret)
 
     def step(state: TrainState, d_state: Optional[TrainState], batch: Dict, rng,
              phase: str = "Ireal", do_r1: bool = False):
@@ -418,11 +443,14 @@ def make_oneshot_train_step(
                     rngs=rngs,
                 )
 
-            def gen_synthesis_featmap(ws, c, v):
+            def gen_synthesis_featmap(ws, c, v, overrides=igen_target_ov):
+                # every caller stop-gradients this output (target renders)
                 return I_module.apply(
                     variables, ws, c, v,
                     method=lambda m, ws, c, v: m.generator.synthesis(
-                        ws, c, v, return_featmap=True, noise_mode="const"
+                        ws, c, v, return_featmap=True, noise_mode="const",
+                        evaluation=overrides is not None,
+                        rendering_overrides=overrides,
                     ),
                     rngs=rngs,
                 )
@@ -1002,11 +1030,17 @@ class FewshotPrograms:
     """
 
     def __init__(self, net, lpips_fn: Callable, weights: InversionLossWeights,
-                 d_module=None):
+                 d_module=None, fast_no_grad: str = "off",
+                 fast_interpret: bool = False):
+        from .fast_render import nograd_overrides
         from .inversion import fewshot_feature_losses, fewshot_image_loss_frame
 
         self.net = net
         self.weights = weights
+        # structured fast paths for the no-grad renders (Igen targets, the
+        # chunk-prefix e4e renders, eval rollouts) — sound because the
+        # generator is frozen in this stage; see train/fast_render.py
+        nograd_ov = nograd_overrides(fast_no_grad, interpret=fast_interpret)
         sg = jax.lax.stop_gradient
 
         def _rngs(rng):
@@ -1034,7 +1068,8 @@ class FewshotPrograms:
             materializes a 19.3 GB patch tensor for the SR up-conv.)"""
             return net.apply(
                 {"params": params, **buffers}, frames_t, c_t, v_t, uv_t, ws, tex, static,
-                method=lambda m, *a: m.multiT_chunk_inputs(*a), rngs=_rngs(rng),
+                method=lambda m, *a: m.multiT_chunk_inputs(*a, nograd_render=nograd_ov),
+                rngs=_rngs(rng),
             )
 
         self._chunk_inputs1 = jax.jit(chunk_inputs1)
@@ -1066,11 +1101,17 @@ class FewshotPrograms:
             )
 
         def render1(params, buffers, ws, tex, static, c_t, v_t, rng):
-            """ONE frame through synthesis_withTexture ([B, ...] leaves)."""
+            """ONE frame through synthesis_withTexture ([B, ...] leaves).
+
+            Every caller is no-grad (Igen targets video_loss.py:377-388 —
+            stop-gradient targets — and the eval rollout), so the render
+            rides the `fast_no_grad` structured path when enabled."""
             out = net.apply(
                 {"params": params, **buffers}, ws, tex, c_t, v_t, static,
                 method=lambda m, w, t, cc, vv, s: m.generator.synthesis_withTexture(
-                    w, t, cc, vv, static_feats=s, noise_mode="const"
+                    w, t, cc, vv, static_feats=s, noise_mode="const",
+                    evaluation=nograd_ov is not None,
+                    rendering_overrides=nograd_ov,
                 ),
                 rngs=_rngs(rng),
             )
@@ -1326,6 +1367,8 @@ def make_fewshot_train_step(
     programs: Optional[FewshotPrograms] = None,
     d_module=None,
     donate: bool = False,
+    fast_no_grad: str = "off",
+    fast_interpret: bool = False,
 ):
     """One step = one I-phase update (training_loop_video.py:402-429).
 
@@ -1337,7 +1380,8 @@ def make_fewshot_train_step(
     state; `fake_idx` is the Ireal loss frame subset ([0] + random,
     video_loss.py:429)."""
     progs = programs if programs is not None else FewshotPrograms(
-        I_module, lpips_fn, weights, d_module=d_module
+        I_module, lpips_fn, weights, d_module=d_module,
+        fast_no_grad=fast_no_grad, fast_interpret=fast_interpret,
     )
 
     # `donate` (opt-in): the old params/opt-state buffers are dead the moment

@@ -119,17 +119,24 @@ def run_e4e(record):
     record["step1_s"] = round(time.time() - t0, 1)
     _hbm(record, "step1")
     del state
+    # read the losses BEFORE dispatching step 2 — the r4 run lost them to a
+    # ResourceExhausted during post-step2 readback (docs/train_tpu_run.json)
+    record["losses"] = {k: float(v) for k, v in aux1.items()}
+    record["finite_losses"] = _finite(aux1)
     t0 = time.time()
     s2, wd2, aux2 = step(s1, wd1, batch, jax.random.PRNGKey(3), do_wd_reg=False)
     jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
     record["step2_warm_s"] = round(time.time() - t0, 2)
     _hbm(record, "step2")
-    record["losses"] = {k: float(v) for k, v in aux1.items()}
-    record["finite_losses"] = _finite(aux1) and _finite(aux2)
-    e1 = jax.tree_util.tree_leaves(s2.params["encoder"])[:8]
-    record["encoder_params_moved"] = bool(
-        any(np.abs(a - np.asarray(b)).max() > 0 for a, b in zip(e0, e1))
-    )
+    record["finite_losses"] = record["finite_losses"] and _finite(aux2)
+    try:
+        e1 = jax.tree_util.tree_leaves(s2.params["encoder"])[:8]
+        record["encoder_params_moved"] = bool(
+            any(np.abs(a - np.asarray(b)).max() > 0 for a, b in zip(e0, e1))
+        )
+    except Exception as e:  # noqa: BLE001 — a readback failure must not void the run
+        record["encoder_params_moved"] = None
+        record["encoder_params_moved_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     return record
 
 
@@ -197,24 +204,31 @@ def run_oneshot(record):
     record["igen_step1_s"] = round(time.time() - t0, 1)
     _hbm(record, "igen_step1")
     del state
+    record["losses"] = {k: float(v) for k, v in aux1.items()}
+    record["finite_losses"] = _finite(aux1)
     t0 = time.time()
     s2, _, aux2 = step(s1, None, batch, jax.random.PRNGKey(2), phase="Ireal")
     jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
     record["ireal_step1_s"] = round(time.time() - t0, 1)
     _hbm(record, "ireal_step1")
     del s1
+    record["losses"].update({k: float(v) for k, v in aux2.items()})
+    record["finite_losses"] = record["finite_losses"] and _finite(aux2)
     t0 = time.time()
     s3, _, aux3 = step(s2, None, batch, jax.random.PRNGKey(3), phase="Igen")
     jax.block_until_ready(jax.tree_util.tree_leaves(s3.params)[0])
     record["igen_step2_warm_s"] = round(time.time() - t0, 2)
     _hbm(record, "igen_step2")
     del s2
-    record["losses"] = {k: float(v) for k, v in {**aux1, **aux2}.items()}
-    record["finite_losses"] = _finite(aux1) and _finite(aux2) and _finite(aux3)
-    t1l = jax.tree_util.tree_leaves(s3.params["unet_encoder"]["texture_unet"])[:8]
-    record["texture_unet_moved"] = bool(
-        any(np.abs(a - np.asarray(b)).max() > 0 for a, b in zip(t0l, t1l))
-    )
+    record["finite_losses"] = record["finite_losses"] and _finite(aux3)
+    try:
+        t1l = jax.tree_util.tree_leaves(s3.params["unet_encoder"]["texture_unet"])[:8]
+        record["texture_unet_moved"] = bool(
+            any(np.abs(a - np.asarray(b)).max() > 0 for a, b in zip(t0l, t1l))
+        )
+    except Exception as e:  # noqa: BLE001
+        record["texture_unet_moved"] = None
+        record["texture_unet_moved_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     return record
 
 

@@ -709,3 +709,53 @@ def test_e4e_step_dp_mesh():
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     assert len(shards) == 2
     np.testing.assert_array_equal(shards[0], shards[1])
+
+
+@pytest.mark.slow
+def test_fewshot_fast_nograd_render():
+    """`fast_no_grad="exact"` routes the no-grad renders (Igen targets /
+    chunk-prefix e4e renders) through the exact windowed Pallas sampler with
+    pooled+det sampling (train/fast_render.py rationale: the generator is
+    frozen in this stage). The interpret-mode kernel render must match the
+    SAME-sampling XLA windowed formulation to float tolerance."""
+    from invertavatar_tpu.train.fast_render import FAST_GRAD_STRUCTURED
+    from invertavatar_tpu.train.loop_inversion import FewshotPrograms
+
+    net, variables, batch = _tiny_fewshot_net_and_batch(T=1)
+    weights = InversionLossWeights(l1=1.0, lpips=0.0, id=0.0, raw_l1=1.0, tri=0.001,
+                                   lr_lpips=0.0, adv=0.0)
+    params = variables["params"]
+    buffers = {k: v for k, v in variables.items() if k != "params"}
+    l1 = lambda a, b: jnp.mean(jnp.abs(a - b))
+
+    progs_fast = FewshotPrograms(net, l1, weights, fast_no_grad="exact",
+                                 fast_interpret=True)
+    rng = jax.random.PRNGKey(3)
+    ws = progs_fast.encode(params, buffers, batch["image"][:, 0], rng)
+    tex, static = progs_fast.feats(params, buffers, ws, rng)
+    out_fast = progs_fast.render(params, buffers, ws, tex, static,
+                                 batch["c"][:, :1],
+                                 {"uvcoords_image": batch["v"]["uvcoords_image"][:, :1]},
+                                 rng)
+    for k, val in out_fast.items():
+        assert np.all(np.isfinite(np.asarray(val))), k
+
+    # same sampling geometry through the XLA windowed sampler (no Pallas)
+    def render_xla(params, buffers, ws, tex, static, c_t, v_t, rng):
+        return net.apply(
+            {"params": params, **buffers}, ws, tex, c_t, v_t, static,
+            method=lambda m, w, t, cc, vv, s: m.generator.synthesis_withTexture(
+                w, t, cc, vv, static_feats=s, noise_mode="const",
+                evaluation=True, rendering_overrides=dict(FAST_GRAD_STRUCTURED),
+            ),
+            rngs={"noise": jax.random.fold_in(rng, 0),
+                  "ray": jax.random.fold_in(rng, 1)},
+        )
+
+    ref = jax.jit(render_xla)(params, buffers, ws, tex, static, batch["c"][:, 0],
+                              {"uvcoords_image": batch["v"]["uvcoords_image"][:, 0]},
+                              jax.random.fold_in(rng, 0))
+    np.testing.assert_allclose(
+        np.asarray(out_fast["image"]), np.asarray(ref["image"]), atol=5e-4,
+        err_msg="exact Pallas fast path vs same-sampling XLA windowed render",
+    )
