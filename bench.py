@@ -98,6 +98,28 @@ def main():
     except Exception:
         pass
 
+    # XLA's cost analysis counts a pallas_call as ZERO flops, so `mfu` above
+    # misses the frame's dominant compute (the fused render kernels). The
+    # kernel wrappers record their actual matmul FLOPs into a ledger at trace
+    # time; (XLA + kernel) FLOPs / peak = the implementation's MXU
+    # utilization — the honest "how busy is the hardware" number for this
+    # gather-shaped workload (see docs/PERF_NOTES.md round 4).
+    mxu_util = None
+    kernel_flops = None
+    try:
+        from invertavatar_tpu.ops.pallas_fused_render import (
+            start_flops_ledger,
+            stop_flops_ledger,
+        )
+
+        start_flops_ledger()
+        jax.eval_shape(frame, variables, ws, tex, static, cache, tex_cat, c, uvc)
+        kernel_flops = stop_flops_ledger()
+        if kernel_flops > 0 and flops is not None:
+            mxu_util = (flops + kernel_flops) * fps / (peak * 1e12)
+    except Exception:
+        pass
+
     rec = {
         "metric": "reenact_512_fps_per_chip",
         "value": round(fps, 3),
@@ -108,6 +130,9 @@ def main():
         rec["mfu"] = round(mfu, 4)
         rec["model_flops_per_frame"] = flops
         rec["device_kind"] = kind
+    if mxu_util is not None:
+        rec["mxu_util"] = round(mxu_util, 4)
+        rec["kernel_flops_per_frame"] = kernel_flops
     print(json.dumps(rec))
 
 

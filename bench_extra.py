@@ -257,7 +257,7 @@ def _inversion_net(unet_type: str):
     variables = init_by_shape(
         lambda: net.init(
             rngs, {"image": img, "uv": uv}, c, {"uvcoords_image": uvc},
-            method=lambda m, x, cc, v: m(x, cc, v, return_feats=True),
+            method=lambda m, x, cc, v: m(x, cc, v, return_feats=True, evaluation=True),
         )
     )
     return net, variables, (img, c, uvc, uv)
@@ -348,7 +348,7 @@ def bench_oneshot(record):
     @jax.jit
     def invert(variables, img, c, uv, uvc):
         def run(m, img, cc, uv, uvc):
-            return m({"image": img, "uv": uv}, cc, {"uvcoords_image": uvc}, return_feats=True)
+            return m({"image": img, "uv": uv}, cc, {"uvcoords_image": uvc}, return_feats=True, evaluation=True)
 
         return net.apply(variables, img, c, uv, uvc, method=run)
 

@@ -58,7 +58,7 @@ def main(argv=None):
     @jax.jit
     def invert(variables, img, c, uv, uvc):
         def run(m, img, c, uv, uvc):
-            return m({"image": img, "uv": uv}, c, {"uvcoords_image": uvc}, return_feats=True)
+            return m({"image": img, "uv": uv}, c, {"uvcoords_image": uvc}, return_feats=True, evaluation=True)
 
         return net.apply(variables, img, c, uv, uvc, method=run)
 

@@ -140,8 +140,17 @@ class InversionNet(nn.Module):
 
     # ----------------------------------------------------------------- forward
     def __call__(self, x: Dict, cam, v, e4e_results: Optional[Dict] = None,
-                 return_feats: bool = False, train: bool = False):
-        """Single-frame forward (uvnet.py:123-158). x: {'image': [B,H,W,3+], 'uv': [B,256,256,6]}."""
+                 return_feats: bool = False, train: bool = False,
+                 evaluation: bool = False,
+                 nograd_render: Optional[Dict] = None,
+                 grad_render: Optional[Dict] = None):
+        """Single-frame forward (uvnet.py:123-158). x: {'image': [B,H,W,3+], 'uv': [B,256,256,6]}.
+
+        `evaluation=True` marks an inference call (both renders may ride the
+        eval kernel paths). `nograd_render` / `grad_render`
+        (train/fast_render override dicts) route the stop-gradient e4e render
+        / the grad-carrying student render through the structured sampling
+        paths during TRAINING."""
         sg = jax.lax.stop_gradient
         if e4e_results is None:
             ws = self.encode(x["image"][..., :3], train=train)
@@ -150,7 +159,9 @@ class InversionNet(nn.Module):
         else:
             ws, tex, static = e4e_results["w"], e4e_results["texture"], e4e_results["static"]
         y_hat = self.generator.synthesis_withTexture(
-            ws, tex, cam, v, static_feats=static, noise_mode="const"
+            ws, tex, cam, v, static_feats=static, noise_mode="const",
+            evaluation=evaluation or nograd_render is not None,
+            rendering_overrides=nograd_render,
         )
         e4e_image = y_hat["image"]
         if e4e_image.shape[1] != x["image"].shape[1]:
@@ -177,7 +188,8 @@ class InversionNet(nn.Module):
         )
 
         out = self.generator.synthesis_withTexture(
-            ws, texture_feats, cam, v, static_feats=static_feats, noise_mode="const"
+            ws, texture_feats, cam, v, static_feats=static_feats, noise_mode="const",
+            evaluation=evaluation, rendering_overrides=grad_render,
         )
         if return_feats:
             out["texture"] = texture_feats
@@ -418,7 +430,8 @@ class InversionNet(nn.Module):
             return [jnp.repeat(f, T, axis=0) for f in feats]
 
         y_hat = self.generator.synthesis_withTexture(
-            vid_ws, rep(tex), vid_c, vid_v, static_feats=rep(static), noise_mode="const"
+            vid_ws, rep(tex), vid_c, vid_v, static_feats=rep(static),
+            noise_mode="const", evaluation=True,  # AR absorb is eval-only
         )
         delta_x = y_hat["image"]
         if delta_x.shape[1] != x["image"].shape[1]:

@@ -29,6 +29,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# ---------------------------------------------------------------- FLOP ledger
+# XLA's HLO cost analysis cannot see inside a pallas_call (its FLOPs count as
+# ZERO), so any MFU derived from cost analysis alone massively undercounts a
+# frame whose dominant compute lives in these kernels. The wrappers below
+# record their actual matmul FLOPs (from the same dims the kernels launch
+# with) into this ledger AT TRACE TIME; bench.py traces the frame once with
+# the ledger armed and adds the total to the XLA-counted FLOPs.
+_FLOPS_LEDGER = None
+
+
+def start_flops_ledger():
+    global _FLOPS_LEDGER
+    _FLOPS_LEDGER = []
+
+
+def stop_flops_ledger() -> float:
+    """Total kernel matmul FLOPs recorded since `start_flops_ledger`."""
+    global _FLOPS_LEDGER
+    total = float(sum(_FLOPS_LEDGER or []))
+    _FLOPS_LEDGER = None
+    return total
+
+
+def ledger_add(flops: float):
+    if _FLOPS_LEDGER is not None:
+        _FLOPS_LEDGER.append(float(flops))
+
 
 def _tile_shape(tile):
     """Normalize the tile argument: int -> square, (th, tw) -> rectangular.
@@ -329,6 +356,17 @@ def fused_render_pallas(
 
     w1, b1, w2, b2 = decoder_params
     O = w2.shape[1]  # 1 + decoder_output_dim
+    HID = w1.shape[1]
+    # per grid step: 3 planes × (x-expander + tent contraction + lane fold)
+    # matmuls + one decoder MLP over the P_g points (see _kernel)
+    ledger_add(
+        (T * S_g) * (
+            3 * (2 * P_g * win_c * (win_c * C)      # x expander
+                 + 2 * P_g * win_r * (win_c * C)    # tent contraction
+                 + 2 * P_g * 128 * C)               # lane->channel fold
+            + 2 * P_g * (C * HID + HID * O)         # OSG decoder MLP
+        )
+    )
     out = _fused_call(
         planes.astype(payload_dtype).reshape(N, H, W * C),
         ys, xs * C, gy, gx, w1, b1, w2, b2,
@@ -634,6 +672,17 @@ def fused_merged_march_pallas(
     dinfo = jnp.concatenate([dinfo, jnp.zeros((G, 4), jnp.float32)], axis=-1)
 
     w1, b1, w2, b2 = decoder_params
+    HID = w1.shape[1]
+    # G merged slots, each: 3 planes × (expander + tent + fold) + decoder MLP
+    # (the march itself is VPU elementwise — negligible MXU work)
+    ledger_add(
+        G * (
+            3 * (2 * P * win_c * (win_c * C)
+                 + 2 * P * win_r * (win_c * C)
+                 + 2 * P * 128 * C)
+            + 2 * P * (C * HID + HID * O)
+        )
+    )
     out = _merged_call(
         planes.astype(payload_dtype).reshape(N, H, W * C),
         ys.reshape(N, G), (xs * C).reshape(N, G), isf, fslot, csrc,

@@ -234,6 +234,16 @@ def sample_planes_windowed_pallas(
     ys = (ys // row_align) * row_align
     xs = (xs // xalign) * xalign
 
+    from .pallas_fused_render import ledger_add
+
+    # N planes × T·S grid steps × (x-expander + tent + lane fold) matmuls
+    ledger_add(
+        N * (T * S) * (
+            2 * P * win_c * (win_c * C)
+            + 2 * P * win_r * (win_c * C)
+            + 2 * P * min(128, win_c * C) * C
+        )
+    )
     outs = []
     for n in range(N):
         outs.append(

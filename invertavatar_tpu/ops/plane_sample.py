@@ -118,6 +118,146 @@ def coarse_window_rect(resolution: int, th: int, tw: int) -> Tuple[int, int]:
     return wy, wx
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def sample_planes_windowed_cvjp(
+    planes: jnp.ndarray,  # [N, H, W, C]
+    grid: jnp.ndarray,  # [N, R, S, 2] plane-space xy in [-1, 1]
+    res: int,
+    tile: int = 16,
+    window: int = 48,
+    use_pallas: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable windowed sampling: Pallas forward, block-granular backward.
+
+    The training render cannot ride the Pallas samplers directly (no VJP is
+    registered for a pallas_call), so grad-carrying passes historically fell
+    back to the per-point patch gather whose backward is a per-tap TPU
+    scatter-add. This wrapper gives the structured formulation a custom VJP:
+
+      forward  = `sample_planes_windowed_pallas` (fp32/HIGHEST exact kernel;
+                 the XLA windowed formulation off-TPU), bitwise-comparable to
+                 `sample_planes_coarse_windowed` up to float add order;
+      backward = `jax.linear_transpose` of `sample_planes_coarse_windowed`
+                 w.r.t. planes — sampling is LINEAR in the planes, so the
+                 transpose is the exact gradient and never re-runs a forward.
+                 XLA transposes the window `dynamic_slice` into a window-block
+                 scatter-add (T·S blocks of win²·C) instead of R·S·4 per-tap
+                 scatters, and the tent einsums into plain matmuls.
+
+    The `grid` cotangent is defined as ZERO: every training caller's ray grid
+    is parameter-free (cameras are data; importance depths are stop_gradient
+    — renderer.py:555), so no gradient may flow through it. Do not use this
+    op anywhere coordinates require gradients.
+    """
+    if use_pallas and (jax.devices()[0].platform == "tpu" or interpret):
+        from .pallas_plane_sample import sample_planes_windowed_pallas
+
+        out = sample_planes_windowed_pallas(
+            planes, grid, res=res, tile=tile, window=window,
+            payload_dtype=jnp.float32, exact=True, interpret=interpret,
+        )
+        # kernel returns [N, R, S, C]; match the XLA formulation's shape
+        return out
+    return sample_planes_coarse_windowed(planes, grid, res=res, tile=tile, window=window)
+
+
+def _cvjp_fwd(planes, grid, res, tile, window, use_pallas, interpret):
+    out = sample_planes_windowed_cvjp(planes, grid, res, tile, window, use_pallas, interpret)
+    return out, (grid, jax.ShapeDtypeStruct(planes.shape, planes.dtype))
+
+
+def windowed_sample_transpose(
+    grid: jnp.ndarray,  # [N, R, S, 2]
+    cot: jnp.ndarray,  # [N, R, S, C]
+    planes_shape: Tuple[int, int, int, int],
+    res: int,
+    tile: int,
+    window: int,
+) -> jnp.ndarray:
+    """Exact transpose of the windowed bilinear sampler w.r.t. the planes.
+
+    d plane[y, x, c] = Σ_p ohy[p, y]·ohx[p, x]·cot[p, c] per block, placed at
+    the block's window start — the same tents as the forward, accumulated as
+    T·S window-block scatter-adds (each a win²·C dense update) instead of the
+    patch gather's R·S·4 per-tap scatters.
+    """
+    N, H, W, C = planes_shape
+    R, S = grid.shape[1], grid.shape[2]
+    assert R == res * res and res % tile == 0
+    t_side = res // tile
+    T = t_side * t_side
+    P = tile * tile
+
+    g = grid.reshape(N, t_side, tile, t_side, tile, S, 2)
+    g = jnp.transpose(g, (0, 1, 3, 2, 4, 5, 6)).reshape(N, T, P, S, 2)
+    gx = (g[..., 0].astype(jnp.float32) + 1.0) * (W * 0.5) - 0.5  # [N, T, P, S]
+    gy = (g[..., 1].astype(jnp.float32) + 1.0) * (H * 0.5) - 0.5
+    xs = jnp.clip(jnp.floor(jnp.min(gx, axis=2)).astype(jnp.int32) - 1, 0, W - window)
+    ys = jnp.clip(jnp.floor(jnp.min(gy, axis=2)).astype(jnp.int32) - 1, 0, H - window)
+
+    c = cot.reshape(N, t_side, tile, t_side, tile, S, C)
+    c = jnp.transpose(c, (0, 1, 3, 2, 4, 5, 6)).reshape(N, T, P, S, C)
+
+    gx_s = jnp.transpose(gx, (0, 1, 3, 2)).reshape(N * T, S, P)
+    gy_s = jnp.transpose(gy, (0, 1, 3, 2)).reshape(N * T, S, P)
+    cot_s = jnp.transpose(c, (0, 1, 3, 2, 4)).reshape(N * T, S, P, C)
+    ys_f = ys.reshape(N * T, S)
+    xs_f = xs.reshape(N * T, S)
+    n_ids = jnp.repeat(jnp.arange(N, dtype=jnp.int32), T)  # [N*T]
+
+    dnums = lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3),
+        inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0, 1, 2),
+    )
+
+    def tents(lv, start, size):  # lv [U, P] local coords; -> [U, P, window]
+        it = lax.broadcasted_iota(jnp.float32, (P, window), 1)
+        oh = jnp.maximum(0.0, 1.0 - jnp.abs(it[None] - lv[..., None]))
+        abs_pos = it[None] + start[:, None, None].astype(jnp.float32)
+        return oh * ((abs_pos >= 0) & (abs_pos < size))
+
+    def one_stratum(acc, args):
+        gy_u, gx_u, cot_u, ys_u, xs_u = args  # [U, P(,C)], [U]
+        ohy = tents(gy_u - ys_u[:, None].astype(jnp.float32), ys_u, H)  # [U, P, win]
+        ohx = tents(gx_u - xs_u[:, None].astype(jnp.float32), xs_u, W)
+        # blk[y, x, c] = Σ_p ohy[p,y] · ohx[p,x] · cot[p,c]
+        pxc = jnp.einsum("upx,upc->upxc", ohx, cot_u)
+        blk = jnp.einsum("upy,upxc->uyxc", ohy, pxc)  # [U, win, win, C]
+        idx = jnp.stack([n_ids, ys_u, xs_u], axis=-1)  # [U, 3]
+        acc = lax.scatter_add(
+            acc, idx, blk.astype(acc.dtype), dnums,
+            indices_are_sorted=False, unique_indices=False,
+        )
+        return acc, None
+
+    init = jnp.zeros((N, H, W, C), cot.dtype)
+    out, _ = lax.scan(
+        one_stratum,
+        init,
+        (
+            jnp.moveaxis(gy_s, 1, 0),  # [S, U, P]
+            jnp.moveaxis(gx_s, 1, 0),
+            jnp.moveaxis(cot_s, 1, 0),  # [S, U, P, C]
+            jnp.moveaxis(ys_f, 1, 0),  # [S, U]
+            jnp.moveaxis(xs_f, 1, 0),
+        ),
+    )
+    return out
+
+
+def _cvjp_bwd(res, tile, window, use_pallas, interpret, residual, cot):
+    grid, planes_sds = residual
+    g_planes = windowed_sample_transpose(
+        grid, cot.astype(planes_sds.dtype), planes_sds.shape, res, tile, window
+    ).astype(planes_sds.dtype)
+    return g_planes, jnp.zeros_like(grid)
+
+
+sample_planes_windowed_cvjp.defvjp(_cvjp_fwd, _cvjp_bwd)
+
+
 def sample_planes_coarse_windowed(
     planes: jnp.ndarray,  # [N=B*3, H, W, C]
     grid: jnp.ndarray,  # [N, R, S, 2] plane-space xy in [-1,1]; rays row-major res×res

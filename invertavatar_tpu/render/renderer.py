@@ -212,7 +212,8 @@ class ImportanceRenderer:
         # coverage for the shipped fast path without hardware (VERDICT r2 #2)
         _interp = bool(options.get("pallas_interpret", False))
         _bf16_gather = (
-            options.get("pallas_coarse", False)
+            evaluation  # eval-only numerics, like the kernels it accompanies
+            and options.get("pallas_coarse", False)
             and not options.get("pallas_exact", False)
             and options.get("bf16_gather", True)
             and (jax.devices()[0].platform == "tpu" or _interp)
@@ -234,12 +235,26 @@ class ImportanceRenderer:
         # under XLA (per-s lax.map + regrouping transposes dominate); it maps
         # naturally onto a Pallas kernel (block DMA + MXU contraction) and is
         # kept behind options['windowed_coarse'] for that follow-up.
-        _pallas_on = options.get("pallas_coarse", False) and (
+        # The forward-only Pallas kernels define no VJP: differentiating them
+        # raises NotImplementedError (docs/gan_tpu_run.json r4 run 1, flagship
+        # kwargs inside a train step). They are EVAL paths — gate them on
+        # `evaluation` so training renders fall back to the differentiable
+        # formulations unless the caller opts into `pallas_grad`.
+        _pallas_on = (
+            evaluation
+            and options.get("pallas_coarse", False)
+            and (jax.devices()[0].platform == "tpu" or _interp)
+        )
+        # grad-carrying structured sampling: Pallas forward + linear-transpose
+        # backward (ops/plane_sample.sample_planes_windowed_cvjp). Training
+        # callers set this via train/fast_render.FAST_GRAD_PALLAS; coordinates
+        # must be parameter-free (the grid cotangent is zero by contract).
+        _grad_pallas = options.get("pallas_grad", False) and (
             jax.devices()[0].platform == "tpu" or _interp
         )
         windowed_ok = (
             fast
-            and (options.get("windowed_coarse", False) or _pallas_on)
+            and (options.get("windowed_coarse", False) or _pallas_on or _grad_pallas)
             and res * res == R
             and res % tile == 0
             and tile >= 8
@@ -259,7 +274,13 @@ class ImportanceRenderer:
             S_ = coords.shape[2]
             proj = project_onto_planes(scaled.reshape(Bp, -1, 3), self.axes_inv)  # [B, 3, R*S, 2]
             proj = proj.reshape(Bp * n_planes, R, S_, 2)
-            if _pallas_on:
+            if _grad_pallas:
+                from ..ops.plane_sample import sample_planes_windowed_cvjp
+
+                out = sample_planes_windowed_cvjp(
+                    planes_flat, proj, res, tile, window, True, _interp
+                )
+            elif _pallas_on:
                 # Pallas windowed kernel: ~2x the patch gather on the
                 # structured coarse pass; bf16 payload (~1e-2 abs feature
                 # error) unless options['pallas_exact'] requests fp32/HIGHEST

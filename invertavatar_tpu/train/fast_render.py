@@ -60,11 +60,33 @@ FAST_GRAD_STRUCTURED: Dict = {
     "det_stratified": True,
 }
 
+# grad-carrying renders, Pallas forward: the exact fp32 windowed kernel with
+# a linear-transpose backward (ops/plane_sample.sample_planes_windowed_cvjp —
+# window-block scatter-add instead of per-tap scatters). Sound only where ray
+# coordinates are parameter-free (true in all three inversion stages: cameras
+# are data, importance depths are stop_gradient).
+FAST_GRAD_PALLAS: Dict = dict(FAST_GRAD_STRUCTURED, pallas_grad=True)
+
 _MODES: Dict[str, Optional[Dict]] = {
     "off": None,
     "exact": FAST_NOGRAD_EXACT,
     "fused": FAST_NOGRAD_FUSED,
 }
+
+_GRAD_MODES: Dict[str, Optional[Dict]] = {
+    "off": None,
+    "structured": FAST_GRAD_STRUCTURED,
+    "pallas": FAST_GRAD_PALLAS,
+}
+
+
+def _resolve(ov: Optional[Dict], interpret: bool) -> Optional[Dict]:
+    if ov is None:
+        return None
+    ov = dict(ov)
+    if interpret:
+        ov["pallas_interpret"] = True
+    return ov
 
 
 def nograd_overrides(mode: str, interpret: bool = False) -> Optional[Dict]:
@@ -75,10 +97,12 @@ def nograd_overrides(mode: str, interpret: bool = False) -> Optional[Dict]:
     """
     if mode not in _MODES:
         raise ValueError(f"fast_no_grad mode {mode!r} not in {sorted(_MODES)}")
-    ov = _MODES[mode]
-    if ov is None:
-        return None
-    ov = dict(ov)
-    if interpret:
-        ov["pallas_interpret"] = True
-    return ov
+    return _resolve(_MODES[mode], interpret)
+
+
+def grad_overrides(mode: str, interpret: bool = False) -> Optional[Dict]:
+    """Resolve a `fast_grad` mode name (off | structured | pallas) to renderer
+    option overrides for GRAD-CARRYING training renders."""
+    if mode not in _GRAD_MODES:
+        raise ValueError(f"fast_grad mode {mode!r} not in {sorted(_GRAD_MODES)}")
+    return _resolve(_GRAD_MODES[mode], interpret)

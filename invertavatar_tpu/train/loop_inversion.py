@@ -239,6 +239,7 @@ def make_e4e_grad_programs(
     weights: InversionLossWeights,
     donate: bool = False,
     fast_igen_target: str = "off",
+    fast_grad: str = "off",
     fast_interpret: bool = False,
 ):
     """HBM-split variant of `make_e4e_train_step` (same math, three programs).
@@ -261,9 +262,10 @@ def make_e4e_grad_programs(
             "make_e4e_grad_programs does not carry the Ireal_novel phase; "
             "use make_e4e_train_step when multiview_id > 0"
         )
-    from .fast_render import nograd_overrides
+    from .fast_render import grad_overrides, nograd_overrides
 
     igen_target_ov = nograd_overrides(fast_igen_target, interpret=fast_interpret)
+    grad_ov = grad_overrides(fast_grad, interpret=fast_interpret)
 
     def _rngs(rng):
         return {"noise": jax.random.fold_in(rng, 0), "ray": jax.random.fold_in(rng, 1)}
@@ -283,7 +285,7 @@ def make_e4e_grad_programs(
                 rngs=rngs,
             )
 
-        def _synthesis(ws, c, v, overrides=None):
+        def _synthesis(ws, c, v, overrides=None, evaluation=False):
             return E4E_module.apply(
                 variables, ws, c, v,
                 method=lambda m, ws, c, v: m.generator.synthesis_withTexture(
@@ -292,17 +294,20 @@ def make_e4e_grad_programs(
                     c, v,
                     static_feats=m.generator.backbone.synthesis(ws, return_list=True, noise_mode="const"),
                     noise_mode="const",
-                    evaluation=overrides is not None,
+                    evaluation=evaluation,
                     rendering_overrides=overrides,
                 ),
                 rngs=rngs,
             )
 
         def gen_synthesis(ws, c, v):
-            return _synthesis(ws, c, v)
+            # the GRAD-carrying student render (evaluation stays False;
+            # fast_grad only swaps the sampling formulation)
+            return _synthesis(ws, c, v, overrides=grad_ov)
 
         gen_synthesis_target = (
-            (lambda ws, c, v: _synthesis(ws, c, v, overrides=igen_target_ov))
+            (lambda ws, c, v: _synthesis(ws, c, v, overrides=igen_target_ov,
+                                         evaluation=True))
             if igen_target_ov is not None else None
         )
         return encode, gen_mapping, gen_synthesis, gen_synthesis_target
@@ -408,19 +413,22 @@ def make_oneshot_train_step(
     d_tx: Optional[optax.GradientTransformation],
     weights: InversionLossWeights,
     fast_igen_target: str = "off",
+    fast_grad: str = "off",
     fast_interpret: bool = False,
 ):
     """One-shot U-Net stage step (reference training_loop_unet_interval.py
     :356-368 + unet_loss.py). `phase` is static: 'Igen' | 'Ireal' alternating
     by batch parity; D phases run when `weights.adv > 0`.
 
-    `fast_igen_target` routes the Igen phase's stop-gradient target render
-    (unet_loss.py:99-110) through the structured fast paths
-    (train/fast_render.py); the student render keeps the differentiable
-    formulation."""
-    from .fast_render import nograd_overrides
+    `fast_igen_target` routes the no-grad renders (the Igen phase's
+    stop-gradient target, unet_loss.py:99-110, and the stop-gradient e4e
+    render inside the forward) through the structured fast paths
+    (train/fast_render.py); `fast_grad` swaps the student render's sampling
+    for the differentiable structured/custom-VJP formulation."""
+    from .fast_render import grad_overrides, nograd_overrides
 
     igen_target_ov = nograd_overrides(fast_igen_target, interpret=fast_interpret)
+    grad_ov = grad_overrides(fast_grad, interpret=fast_interpret)
 
     def step(state: TrainState, d_state: Optional[TrainState], batch: Dict, rng,
              phase: str = "Ireal", do_r1: bool = False):
@@ -432,7 +440,10 @@ def make_oneshot_train_step(
             def inv_forward(x, c, v, return_feats):
                 return I_module.apply(
                     variables, x, c, v,
-                    method=lambda m, x, c, v: m(x, c, v, return_feats=return_feats),
+                    method=lambda m, x, c, v: m(
+                        x, c, v, return_feats=return_feats,
+                        nograd_render=igen_target_ov, grad_render=grad_ov,
+                    ),
                     rngs=rngs,
                 )
 
@@ -531,6 +542,219 @@ def make_oneshot_train_step(
                 optax.apply_updates(d_state.params, d_updates), d_opt, d_state.buffers
             )
             aux = {f"{phase}/{k}": v for k, v in aux.items()}
+        return new_state, new_d_state, aux
+
+    return step
+
+
+def make_oneshot_grad_programs(
+    I_module,  # InversionNet
+    D_module,
+    lpips_fn: Callable,
+    id_fn: Optional[Callable],
+    tx: optax.GradientTransformation,
+    d_tx: Optional[optax.GradientTransformation],
+    weights: InversionLossWeights,
+    donate: bool = False,
+    fast_igen_target: str = "off",
+    fast_grad: str = "off",
+    fast_interpret: bool = False,
+):
+    """HBM/compile split of `make_oneshot_train_step` (same math, smaller
+    programs, same step contract).
+
+    The monolithic Igen phase holds the frozen-G target render + the e4e
+    prefix render + the student render forward AND backward in ONE XLA
+    program; on the v5e that program reproducibly kills the remote compile
+    helper (docs/train_tpu_run.json oneshot_B1: tpu_compile_helper HTTP 500
+    after ~16 min, twice). Mirroring `make_e4e_grad_programs`, the step is
+    decomposed into independently-compiled programs:
+
+      igen_targets  frozen-G mapping + featmap render, no grads   [1 render]
+      grad_igen     student fwd+bwd against precomputed targets   [≤2 renders]
+      grad_ireal    student fwd+bwd on a real frame               [≤2 renders]
+      update        masked optimizer update (donatable)
+
+    D phases run the student forward in its own no-grad program and the D
+    loss+update in another (no generator render in the D grad program at
+    all). Loss math is `oneshot_igen_loss`/`oneshot_ireal_loss` verbatim —
+    the target closures just return the precomputed tensors.
+    """
+    from .fast_render import grad_overrides, nograd_overrides
+
+    igen_target_ov = nograd_overrides(fast_igen_target, interpret=fast_interpret)
+    grad_ov = grad_overrides(fast_grad, interpret=fast_interpret)
+
+    def _rngs(rng):
+        return {"noise": jax.random.fold_in(rng, 0), "ray": jax.random.fold_in(rng, 1)}
+
+    def _inv_forward(params, buffers, rngs, x, c, v, return_feats):
+        return I_module.apply(
+            {"params": params, **buffers}, x, c, v,
+            method=lambda m, x, c, v: m(
+                x, c, v, return_feats=return_feats,
+                nograd_render=igen_target_ov, grad_render=grad_ov,
+            ),
+            rngs=rngs,
+        )
+
+    def igen_targets(params, buffers, z, c, v, rng):
+        """Frozen-G sample for the Igen phase (unet_loss.py:99-110)."""
+        rngs = _rngs(rng)
+        variables = {"params": params, **buffers}
+        ws = I_module.apply(
+            variables, z, c,
+            method=lambda m, z, c: m.generator.mapping(z, c, truncation_psi=0.8),
+            rngs=rngs,
+        )
+        gen_out = I_module.apply(
+            variables, ws, c, v,
+            method=lambda m, ws, c, v: m.generator.synthesis(
+                ws, c, v, return_featmap=True, noise_mode="const",
+                evaluation=igen_target_ov is not None,
+                rendering_overrides=igen_target_ov,
+            ),
+            rngs=rngs,
+        )
+        keep = {"image", "feature_image", "triplane"}
+        if weights.texture > 0:
+            keep.add("texture")
+        return ws, {k: gen_out[k] for k in keep if k in gen_out}
+
+    def _frozen(params):
+        return {
+            **params,
+            "generator": jax.lax.stop_gradient(params["generator"]),
+            "encoder": jax.lax.stop_gradient(params["encoder"]),
+        }
+
+    def grad_igen(params, buffers, d_params, ws_t, gen_out, batch, rng):
+        rngs = _rngs(rng)
+
+        def f(p):
+            p = _frozen(p)
+            inv_forward = lambda x, c, v, rf: _inv_forward(p, buffers, rngs, x, c, v, rf)
+            d_apply = None
+            if d_params is not None and D_module is not None and weights.adv > 0:
+                d_apply = lambda img, c: D_module.apply(
+                    {"params": d_params}, img, c, rngs=rngs
+                )
+            total, losses = oneshot_igen_loss(
+                inv_forward,
+                lambda z, c, truncation_psi=1.0: ws_t,
+                lambda w, cc, vv: gen_out,
+                d_apply, lpips_fn, id_fn, weights,
+                batch["z"], batch["c"], batch["v"], batch.get("gen_uv"),
+            )
+            return total, {f"Igen/{k}": v for k, v in losses.items()}
+
+        (_, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return grads, aux
+
+    def grad_ireal(params, buffers, d_params, batch, rng):
+        rngs = _rngs(rng)
+
+        def f(p):
+            p = _frozen(p)
+            inv_forward = lambda x, c, v, rf: _inv_forward(p, buffers, rngs, x, c, v, rf)
+            d_apply = None
+            if d_params is not None and D_module is not None and weights.adv > 0:
+                d_apply = lambda img, c: D_module.apply(
+                    {"params": d_params}, img, c, rngs=rngs
+                )
+            total, losses = oneshot_ireal_loss(
+                inv_forward, d_apply, lpips_fn, id_fn, weights,
+                {"image": batch["image"], "uv": batch["uv"]},
+                batch["c"], batch["v"],
+            )
+            return total, {f"Ireal/{k}": v for k, v in losses.items()}
+
+        (_, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return grads, aux
+
+    def update(params, opt_state, grads):
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt
+
+    def student_fwd(params, buffers, x, c, v, rng):
+        return _inv_forward(params, buffers, _rngs(rng), x, c, v, False)
+
+    def d_step(d_params, d_buffers, d_opt, fake_pair, real_pair, c, rng,
+               do_r1: bool = False):
+        rngs = _rngs(rng)
+
+        def d_loss_fn(dp):
+            d_apply = lambda img, cc: D_module.apply(
+                {"params": dp, **d_buffers}, img, cc, rngs=rngs
+            )
+            return oneshot_d_loss(d_apply, fake_pair, real_pair, c, weights, do_r1)
+
+        (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(d_params)
+        d_updates, new_d_opt = d_tx.update(d_grads, d_opt, d_params)
+        return optax.apply_updates(d_params, d_updates), new_d_opt, d_aux
+
+    jit = jax.jit
+    igen_targets_j = jit(igen_targets)
+    grad_igen_j = jit(grad_igen)
+    grad_ireal_j = jit(grad_ireal)
+    update_j = jit(update, donate_argnums=(0, 1) if donate else ())
+    student_fwd_j = jit(student_fwd)
+    d_step_j = jit(d_step, static_argnames=("do_r1",)) if d_tx is not None else None
+
+    def step(state: TrainState, d_state: Optional[TrainState], batch: Dict, rng,
+             phase: str = "Ireal", do_r1: bool = False):
+        aux = {}
+        new_state, new_d_state = state, d_state
+        if phase in ("Igen", "Ireal"):
+            d_params = d_state.params if (weights.adv > 0 and d_state is not None) else None
+            if phase == "Igen":
+                ws_t, gen_out = igen_targets_j(
+                    state.params, state.buffers, batch["z"], batch["c"], batch["v"], rng
+                )
+                grads, aux = grad_igen_j(
+                    state.params, state.buffers, d_params, ws_t, gen_out, batch, rng
+                )
+                del ws_t, gen_out
+            else:
+                grads, aux = grad_ireal_j(state.params, state.buffers, d_params, batch, rng)
+            new_params, new_opt = update_j(state.params, state.opt_state, grads)
+            del grads
+            new_state = TrainState(new_params, new_opt, state.buffers)
+        else:
+            assert phase in ("Dgen", "Dreal") and d_state is not None
+            if phase == "Dgen":
+                ws_t, gen_out = igen_targets_j(
+                    state.params, state.buffers, batch["z"], batch["c"], batch["v"], rng
+                )
+                i_out = student_fwd_j(
+                    state.params, state.buffers,
+                    {"image": gen_out["image"], "uv": batch.get("gen_uv")},
+                    batch["c"], batch["v"], rng,
+                )
+                real_pair = {"image": gen_out["image"][..., :3],
+                             "image_raw": gen_out["feature_image"][..., :3]}
+            else:
+                i_out = student_fwd_j(
+                    state.params, state.buffers,
+                    {"image": batch["image"], "uv": batch["uv"]},
+                    batch["c"], batch["v"], rng,
+                )
+                from ..ops.resize import resize_bilinear
+
+                real_pair = {
+                    "image": batch["image"][..., :3],
+                    "image_raw": resize_bilinear(
+                        batch["image"][..., :3], (128, 128), antialias=True
+                    ),
+                }
+            fake_pair = {"image": i_out["image"],
+                         "image_raw": i_out["feature_image"][..., :3]}
+            new_d_params, new_d_opt, d_aux = d_step_j(
+                d_state.params, d_state.buffers, d_state.opt_state,
+                fake_pair, real_pair, batch["c"], rng, do_r1=do_r1,
+            )
+            new_d_state = TrainState(new_d_params, new_d_opt, d_state.buffers)
+            aux = {f"{phase}/{k}": v for k, v in d_aux.items()}
         return new_state, new_d_state, aux
 
     return step
@@ -1031,8 +1255,8 @@ class FewshotPrograms:
 
     def __init__(self, net, lpips_fn: Callable, weights: InversionLossWeights,
                  d_module=None, fast_no_grad: str = "off",
-                 fast_interpret: bool = False):
-        from .fast_render import nograd_overrides
+                 fast_grad: str = "off", fast_interpret: bool = False):
+        from .fast_render import grad_overrides, nograd_overrides
         from .inversion import fewshot_feature_losses, fewshot_image_loss_frame
 
         self.net = net
@@ -1041,6 +1265,11 @@ class FewshotPrograms:
         # chunk-prefix e4e renders, eval rollouts) — sound because the
         # generator is frozen in this stage; see train/fast_render.py
         nograd_ov = nograd_overrides(fast_no_grad, interpret=fast_interpret)
+        # structured sampling for the GRAD-carrying render (render_loss_cot1):
+        # deterministic+pooled depths route both passes through the windowed
+        # sampler whose backward is window-block-granular (fast_grad="pallas"
+        # additionally takes the custom-VJP Pallas forward)
+        grad_ov = grad_overrides(fast_grad, interpret=fast_interpret)
         sg = jax.lax.stop_gradient
 
         def _rngs(rng):
@@ -1212,7 +1441,8 @@ class FewshotPrograms:
                 out = net.apply(
                     {"params": params, **buffers}, ws, texture_feats, c_t, v_t, statics,
                     method=lambda m, w, t, cc, vv, s: m.generator.synthesis_withTexture(
-                        w, t, cc, vv, static_feats=s, noise_mode="const"
+                        w, t, cc, vv, static_feats=s, noise_mode="const",
+                        rendering_overrides=grad_ov,
                     ),
                     rngs=_rngs(rng),
                 )
@@ -1368,6 +1598,7 @@ def make_fewshot_train_step(
     d_module=None,
     donate: bool = False,
     fast_no_grad: str = "off",
+    fast_grad: str = "off",
     fast_interpret: bool = False,
 ):
     """One step = one I-phase update (training_loop_video.py:402-429).
@@ -1381,7 +1612,8 @@ def make_fewshot_train_step(
     video_loss.py:429)."""
     progs = programs if programs is not None else FewshotPrograms(
         I_module, lpips_fn, weights, d_module=d_module,
-        fast_no_grad=fast_no_grad, fast_interpret=fast_interpret,
+        fast_no_grad=fast_no_grad, fast_grad=fast_grad,
+        fast_interpret=fast_interpret,
     )
 
     # `donate` (opt-in): the old params/opt-state buffers are dead the moment

@@ -69,21 +69,22 @@ def main():
     tx = masked_adam(1e-4, oneshot_tex_trainable)
     state = TrainState(variables["params"], tx.init(variables["params"]),
                        {k: v for k, v in variables.items() if k != "params"})
-    step = jax.jit(
-        make_oneshot_train_step(net, None, lambda a, b: jnp.mean(jnp.abs(a - b)),
-                                None, tx, None, weights,
-                                fast_igen_target="exact", fast_interpret=True),
-        static_argnames=("phase", "do_r1"),
+    from invertavatar_tpu.train.loop_inversion import make_oneshot_grad_programs
+
+    step = make_oneshot_grad_programs(
+        net, None, lambda a, b: jnp.mean(jnp.abs(a - b)),
+        None, tx, None, weights,
+        fast_igen_target="exact", fast_grad="pallas", fast_interpret=True,
     )
     p0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(
         state.params["unet_encoder"]["texture_unet"])[:8]]
     s1, _, aux = step(state, None, batch, jax.random.PRNGKey(1), phase="Igen")
     aux = {k: float(v) for k, v in aux.items()}
-    print("oneshot Igen (fast target):", aux, flush=True)
+    print("oneshot split Igen (fast target + pallas grad):", aux, flush=True)
     assert all(np.isfinite(v) for v in aux.values()), aux
     p1 = jax.tree_util.tree_leaves(s1.params["unet_encoder"]["texture_unet"])[:8]
     assert any(np.abs(a - np.asarray(b)).max() > 0 for a, b in zip(p0, p1))
-    print("PASS: oneshot fast_igen_target step finite + params moved")
+    print("PASS: oneshot split step (fast paths) finite + params moved")
 
 
 if __name__ == "__main__":

@@ -20,3 +20,6 @@ timeout 3600 python scripts/profile_batch_scaling.py > /tmp/r4d_batchscale.log 2
 echo "=== raster variants profile ==="
 timeout 3600 python scripts/profile_raster_r4.py > /tmp/r4d_raster.log 2>&1; echo "raster RC=$?"
 echo "battery3 done"
+echo "=== train grad profile ==="
+timeout 3600 python scripts/profile_train_grad.py > /tmp/r4d_gradprof.log 2>&1; echo "gradprof RC=$?"
+echo "battery3+gradprof done"

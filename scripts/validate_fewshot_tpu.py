@@ -115,11 +115,17 @@ def build(T: int):
     return net, variables, batch, init_s
 
 
-def run_stage(net, holder, batch, multiT: bool, frm_per_chunk: int, record: dict):
+def run_stage(net, holder, batch, multiT: bool, frm_per_chunk: int, record: dict,
+              fast: bool = False):
     """`holder` is a single-key dict {'v': variables}; ownership transfers —
     the entry is popped so the update program's donated old params are truly
     dead (r4 run 1: the caller's live `variables` binding kept a second
-    flagship param set in HBM and Igen hit ResourceExhausted)."""
+    flagship param set in HBM and Igen hit ResourceExhausted).
+
+    `fast=True` measures the structured fast-path step (train/fast_render.py:
+    fused no-grad renders + custom-VJP Pallas grad sampling) — the documented
+    TPU-first sampling deviation, CPU-parity-tested in
+    tests/test_loop_inversion.py."""
     variables = holder.pop("v")
     weights = InversionLossWeights(l1=1.0, lpips=0.0, id=0.0, raw_l1=1.0, tri=0.001,
                                    lr_lpips=0.0, mouth=0.0, adv=0.0)
@@ -133,7 +139,9 @@ def run_stage(net, holder, batch, multiT: bool, frm_per_chunk: int, record: dict
     ref_up2 = [np.asarray(x) for x in jax.tree_util.tree_leaves(
         state.params["unet_encoder"]["triplane_unet"]["up2"])]
     step = make_fewshot_train_step(net, lambda a, b: jnp.mean(jnp.abs(a - b)), tx, weights,
-                                   frm_per_chunk=frm_per_chunk, donate=True)
+                                   frm_per_chunk=frm_per_chunk, donate=True,
+                                   fast_no_grad="fused" if fast else "off",
+                                   fast_grad="pallas" if fast else "off")
     T = batch["c"].shape[1]
     Tc = min(frm_per_chunk, T) if multiT else T
     npr = np.random.RandomState(0)
@@ -253,6 +261,45 @@ def main():
         del variables
         try:
             run_stage(net, holder, batch, multiT=True, frm_per_chunk=6, record=rec)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        print(json.dumps(rec), flush=True)
+
+    if mode == "--fast-only":
+        print("== shipped config + structured fast paths: B=1 T=4 ==", flush=True)
+        net, variables, batch, init_s = build(T=4)
+        rec = {"B": 1, "T": 4, "multiT": False, "init_s": round(init_s, 1),
+               "fast_no_grad": "fused", "fast_grad": "pallas"}
+        out["configs"]["shipped_T4_fast"] = rec
+        holder = {"v": variables}
+        del variables
+        try:
+            run_stage(net, holder, batch, multiT=False, frm_per_chunk=4, record=rec,
+                      fast=True)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        print(json.dumps(rec), flush=True)
+
+    if mode == "--multiT-fast":
+        # the literal-formulation T=12 Igen OOMs the 16 GB chip (multiT_T12
+        # record); the structured fast paths shrink both the no-grad target
+        # renders and the grad-render footprint — this records whether the
+        # curriculum chunk trains within HBM under the documented deviation
+        print("== multi-T + structured fast paths: B=1 T=12 fpc=6 ==", flush=True)
+        net, variables, batch, init_s = build(T=12)
+        rec = {"B": 1, "T": 12, "multiT": True, "frm_per_chunk": 6,
+               "init_s": round(init_s, 1),
+               "fast_no_grad": "fused", "fast_grad": "pallas"}
+        out["configs"]["multiT_T12_fast"] = rec
+        holder = {"v": variables}
+        del variables
+        try:
+            run_stage(net, holder, batch, multiT=True, frm_per_chunk=6, record=rec,
+                      fast=True)
         except Exception as e:  # noqa: BLE001
             rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
         finally:

@@ -45,6 +45,16 @@ NRR = 64  # train_3dgan.sh --neural_rendering_resolution_initial 64
 
 def build():
     G = flagship_generator(neural_rendering_resolution=NRR)
+    # Training formulation, not the eval fast path: the flagship kwargs bake
+    # in the Pallas eval samplers (no VJP — differentiating them raised
+    # NotImplementedError on chip, r4 run 1) and deterministic/pooled
+    # sampling. GAN training keeps the reference's stochastic per-ray
+    # sampling (train/fast_render.py rationale: G LEARNS the field here).
+    rk = dict(G.rendering_kwargs)
+    for k in ("pallas_coarse", "pooled_importance", "fast_uv_warp",
+              "tile_shape", "det_stratified"):
+        rk.pop(k, None)
+    G = G.clone(rendering_kwargs=rk)
     D = DualDiscriminator(
         c_dim=25, img_resolution=512, img_channels=6,
         channel_base=32768, channel_max=512, num_fp16_res=4, disc_c_noise=0.0,

@@ -143,7 +143,7 @@ def run_e4e(record):
 def run_oneshot(record):
     from invertavatar_tpu.models.encoders.uvnet import texture_out_channels_for
     from invertavatar_tpu.train.loop_inversion import (
-        make_oneshot_train_step,
+        make_oneshot_grad_programs,
         masked_adam,
         oneshot_tex_trainable,
     )
@@ -187,11 +187,14 @@ def run_oneshot(record):
     weights = InversionLossWeights(l1=1.0, lpips=0.0, id=0.0, raw_l1=1.0,
                                    tri=0.001, texture=0.001, adv=0.0)
     tx = masked_adam(1e-4, oneshot_tex_trainable)
-    step = jax.jit(
-        make_oneshot_train_step(net, None, lambda a, b: jnp.mean(jnp.abs(a - b)), None,
-                                tx, None, weights),
-        static_argnames=("phase", "do_r1"),
+    # per-phase split (CPU-parity-tested vs the monolith): the monolithic
+    # Igen program killed the remote compile helper twice (HTTP 500 after
+    # ~16 min — this file's r4 records); donate=True keeps one param set live
+    step = make_oneshot_grad_programs(
+        net, None, lambda a, b: jnp.mean(jnp.abs(a - b)), None,
+        tx, None, weights, donate=True,
     )
+    record["step_impl"] = "make_oneshot_grad_programs (per-phase split, donated update)"
     state = TrainState(variables["params"], tx.init(variables["params"]),
                        {k: v for k, v in variables.items() if k != "params"})
     del variables, gen_vars

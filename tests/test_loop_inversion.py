@@ -342,16 +342,14 @@ def test_ar_forward_streaming_tiny():
         assert np.all(np.isfinite(np.asarray(f)))
 
 
-@pytest.mark.slow
-def test_oneshot_step_tiny():
-    """Igen + Ireal + Dgen phases through the segformer one-shot net."""
+def _tiny_oneshot_setup():
+    """Tiny segformer one-shot net + D + batch (shared by the step tests)."""
     import optax
 
     from invertavatar_tpu.models.discriminator import DualDiscriminator
     from invertavatar_tpu.models.encoders.uvnet import InversionNet
     from invertavatar_tpu.train.dryrun import TINY_RENDERING_KWARGS, _fake_batch
     from invertavatar_tpu.train.loop_inversion import (
-        make_oneshot_train_step,
         masked_adam,
         oneshot_tex_trainable,
     )
@@ -402,6 +400,15 @@ def test_oneshot_step_tiny():
                          {k: v for k, v in d_vars.items() if k != "params"})
     state = TrainState(variables["params"], tx.init(variables["params"]),
                        {k: v for k, v in variables.items() if k != "params"})
+    return net, D, state, d_state, batch, tx, d_tx, weights
+
+
+@pytest.mark.slow
+def test_oneshot_step_tiny():
+    """Igen + Ireal + Dgen phases through the segformer one-shot net."""
+    from invertavatar_tpu.train.loop_inversion import make_oneshot_train_step
+
+    net, D, state, d_state, batch, tx, d_tx, weights = _tiny_oneshot_setup()
     step = jax.jit(
         make_oneshot_train_step(net, D, lambda a, b: jnp.mean(jnp.abs(a - b)), None,
                                 tx, d_tx, weights),
@@ -759,3 +766,100 @@ def test_fewshot_fast_nograd_render():
         np.asarray(out_fast["image"]), np.asarray(ref["image"]), atol=5e-4,
         err_msg="exact Pallas fast path vs same-sampling XLA windowed render",
     )
+
+
+@pytest.mark.slow
+def test_fast_grad_pallas_matches_structured():
+    """fast_grad="pallas" (custom-VJP Pallas sampler, interpret mode) must
+    match fast_grad="structured" (XLA windowed formulation) in both the
+    render VALUE and the GRADIENT w.r.t. the texture features — identical
+    sampling (det + pooled), two exact sampler implementations. This is the
+    grad path render_loss_cot1 takes on TPU."""
+    from invertavatar_tpu.train.fast_render import grad_overrides
+
+    net, variables, batch = _tiny_fewshot_net_and_batch(T=1)
+    params = variables["params"]
+    buffers = {k: v for k, v in variables.items() if k != "params"}
+    rng = jax.random.PRNGKey(5)
+    rngs = {"noise": jax.random.fold_in(rng, 0), "ray": jax.random.fold_in(rng, 1)}
+
+    def feats(ws):
+        def run(m, w):
+            tex = m.generator.texture_backbone.synthesis(w, return_list=True, noise_mode="const")
+            static = m.generator.backbone.synthesis(w, return_list=True, noise_mode="const")
+            return tex, static
+
+        return net.apply({"params": params, **buffers}, ws, method=run, rngs=rngs)
+
+    ws = net.apply({"params": params, **buffers}, batch["image"][:, 0],
+                   method=lambda m, x: m.encode(x), rngs=rngs)
+    tex, static = feats(ws)
+    c0 = batch["c"][:, 0]
+    v0 = {"uvcoords_image": batch["v"]["uvcoords_image"][:, 0]}
+    target = batch["image"][:, 0, ..., :3]
+    from invertavatar_tpu.ops.resize import resize_bilinear
+
+    def loss_with(ov):
+        def f(tex_in):
+            out = net.apply(
+                {"params": params, **buffers}, ws, tex_in, c0, v0, static,
+                method=lambda m, w, t, cc, vv, s: m.generator.synthesis_withTexture(
+                    w, t, cc, vv, static_feats=s, noise_mode="const",
+                    rendering_overrides=ov,
+                ),
+                rngs=rngs,
+            )
+            img = out["image"]
+            tgt = target
+            if img.shape[1] != tgt.shape[1]:
+                tgt = resize_bilinear(tgt, img.shape[1:3], antialias=True)
+            return jnp.mean(jnp.abs(img - tgt))
+
+        return jax.value_and_grad(f)(list(tex))
+
+    v_s, g_s = jax.jit(lambda: loss_with(grad_overrides("structured", interpret=True)))()
+    v_p, g_p = jax.jit(lambda: loss_with(grad_overrides("pallas", interpret=True)))()
+    np.testing.assert_allclose(float(v_p), float(v_s), rtol=1e-5, atol=1e-6)
+    ls, lp = jax.tree_util.tree_leaves(g_s), jax.tree_util.tree_leaves(g_p)
+    assert len(ls) == len(lp)
+    total = 0.0
+    for a, b in zip(ls, lp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-3)
+        total += float(jnp.sum(jnp.abs(a)))
+    assert total > 0.0  # gradients actually flow into the texture pyramid
+
+
+@pytest.mark.slow
+def test_oneshot_grad_programs_parity():
+    """The per-phase split (make_oneshot_grad_programs) matches the monolithic
+    one-shot step: same losses and (numerically) the same params after one
+    Igen and one Ireal step from the same state. The split is what runs on
+    the v5e — the monolithic Igen program reproducibly killed the remote
+    compile helper (docs/train_tpu_run.json oneshot_B1)."""
+    from invertavatar_tpu.train.loop_inversion import (
+        make_oneshot_grad_programs,
+        make_oneshot_train_step,
+    )
+
+    net, D, state, d_state, batch, tx, d_tx, weights = _tiny_oneshot_setup()
+    l1 = lambda a, b: jnp.mean(jnp.abs(a - b))
+    mono = jax.jit(make_oneshot_train_step(net, D, l1, None, tx, d_tx, weights),
+                   static_argnames=("phase", "do_r1"))
+    split = make_oneshot_grad_programs(net, D, l1, None, tx, d_tx, weights)
+
+    for phase, key in (("Igen", 1), ("Ireal", 2)):
+        rng = jax.random.PRNGKey(key)
+        m_state, _, m_aux = mono(state, d_state, batch, rng, phase=phase)
+        s_state, _, s_aux = split(state, d_state, batch, rng, phase=phase)
+        assert set(m_aux) == set(s_aux), (phase, set(m_aux) ^ set(s_aux))
+        for k in m_aux:
+            np.testing.assert_allclose(float(m_aux[k]), float(s_aux[k]),
+                                       rtol=2e-4, atol=1e-6, err_msg=f"{phase}:{k}")
+        fm = jax.tree_util.tree_flatten_with_path(m_state.params)[0]
+        fs = jax.tree_util.tree_flatten_with_path(s_state.params)[0]
+        for (pm, am), (ps, bs) in zip(fm, fs):
+            assert pm == ps
+            np.testing.assert_allclose(
+                np.asarray(am), np.asarray(bs), rtol=1e-4, atol=1e-5,
+                err_msg=f"{phase}:{jax.tree_util.keystr(pm)}",
+            )

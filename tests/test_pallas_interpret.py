@@ -276,3 +276,71 @@ def test_renderer_fused_march_interpret_resident_identical():
     np.testing.assert_array_equal(np.asarray(rgb_w), np.asarray(rgb_r))
     np.testing.assert_array_equal(np.asarray(dep_w), np.asarray(dep_r))
     np.testing.assert_array_equal(np.asarray(ws_w), np.asarray(ws_r))
+
+
+def test_windowed_cvjp_grads_match_xla_windowed():
+    """`sample_planes_windowed_cvjp` (Pallas fwd, linear-transpose bwd): the
+    forward must match the XLA windowed formulation and the plane gradient
+    must match jax.grad through `sample_planes_coarse_windowed` — the grad
+    path the inversion training loops take under fast_grad="pallas"."""
+    from invertavatar_tpu.ops.plane_sample import (
+        sample_planes_coarse_windowed,
+        sample_planes_windowed_cvjp,
+    )
+
+    rng = np.random.RandomState(3)
+    N, H, C = 3, 64, 8
+    res, S, tile, window = 32, 4, 8, 32
+    planes = jnp.asarray(rng.randn(N, H, H, C).astype(np.float32))
+    grid = _structured_grid(rng, N, res, S)
+    cot_w = jnp.asarray(rng.randn(N, res * res, S, C).astype(np.float32))
+
+    ref = sample_planes_coarse_windowed(planes, grid, res=res, tile=tile, window=window)
+    out = sample_planes_windowed_cvjp(planes, grid, res, tile, window, True, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def loss_ref(p):
+        return jnp.sum(sample_planes_coarse_windowed(p, grid, res=res, tile=tile,
+                                                     window=window) * cot_w)
+
+    def loss_cvjp(p):
+        return jnp.sum(sample_planes_windowed_cvjp(p, grid, res, tile, window,
+                                                   True, True) * cot_w)
+
+    g_ref = jax.grad(loss_ref)(planes)
+    g_out = jax.grad(loss_cvjp)(planes)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=2e-3,
+                               rtol=1e-4)
+
+    # sanity: the cotangent actually reaches every touched texel (non-trivial)
+    assert float(jnp.sum(jnp.abs(g_out))) > 1.0
+
+
+def test_flops_ledger_records_kernel_work():
+    """The kernel-FLOP ledger (bench.py MXU-utilization accounting) records
+    nonzero matmul FLOPs when a Pallas sampler traces, and clears after."""
+    from invertavatar_tpu.ops.pallas_fused_render import (
+        start_flops_ledger,
+        stop_flops_ledger,
+    )
+    from invertavatar_tpu.ops.pallas_plane_sample import sample_planes_windowed_pallas
+
+    rng = np.random.RandomState(4)
+    N, H, C = 3, 64, 8
+    res, S, tile = 32, 4, 8
+    planes = jnp.asarray(rng.randn(N, H, H, C).astype(np.float32))
+    grid = _structured_grid(rng, N, res, S)
+
+    start_flops_ledger()
+    jax.eval_shape(
+        lambda p, g: sample_planes_windowed_pallas(
+            p, g, res=res, tile=tile, window=32,
+            payload_dtype=jnp.float32, exact=True, interpret=True,
+        ),
+        planes, grid,
+    )
+    total = stop_flops_ledger()
+    # 3 planes × 64 tiles·... — the exact number tracks the wrapper's dims;
+    # what matters is that the work is visible and the ledger resets
+    assert total > 1e6, total
+    assert stop_flops_ledger() == 0.0
