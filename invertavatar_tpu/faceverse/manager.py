@@ -41,10 +41,14 @@ class FaceverseManager:
         face_mask: np.ndarray,  # [V] vertex face-region mask (v31_face_mask_new.npy)
         base_coeff: Optional[np.ndarray] = None,
         faces_per_tile: int = 1024,
+        raster_kwargs: Optional[dict] = None,  # extra rasterize() knobs
+        # (tile/chunk/exact_cover) for the variant study in
+        # docs/raster_r4.json + docs/raster_visibility.json
     ):
         self.model = FaceVerseModel(assets)
         self.fv2fl = np.asarray(fv2fl, np.float32)
         self.faces_per_tile = faces_per_tile
+        self.raster_kwargs = dict(raster_kwargs or {})
 
         # expand the face area in UV space (renderer.py:23-25)
         uv = np.array(assets.uv_per_ver, np.float32)
@@ -103,6 +107,7 @@ class FaceverseManager:
         tri = self.tri
         face_attrs = self.face_attrs
         fpt = self.faces_per_tile
+        extra_raster = dict(self.raster_kwargs)
 
         @jax.jit
         def render(id_coeff, exp_coeff, eye_coeff):
@@ -125,6 +130,7 @@ class FaceverseManager:
                 # the raster's 7 ms at this F=59k config (docs/raster_profile
                 # .json); bitwise-equal by tests/test_rasterizer.py
                 binning="anchor",
+                **extra_raster,
             )
             rendering = interpolate_attributes(out, face_attrs)  # [h, w, 4] = (u, v, mask, vis)
             render_mask = rendering[..., 3:4] * rendering[..., 2:3]

@@ -401,6 +401,15 @@ def make_e4e_grad_programs(
             aux.update(wd_aux)
         return new_state, new_wd_state, aux
 
+    # per-program handles for AOT compile / memory-analysis instrumentation
+    # (scripts/validate_train_tpu.py drives these individually so an OOM in
+    # one program doesn't void the evidence from the ones before it)
+    step.programs = {
+        "grad_ireal": grad_ireal_j,
+        "grad_igen": grad_igen_j,
+        "update": update_j,
+        "wd_step": wd_step_j,
+    }
     return step
 
 
@@ -757,6 +766,15 @@ def make_oneshot_grad_programs(
             aux = {f"{phase}/{k}": v for k, v in d_aux.items()}
         return new_state, new_d_state, aux
 
+    # per-program handles (see make_e4e_grad_programs.step.programs)
+    step.programs = {
+        "igen_targets": igen_targets_j,
+        "grad_igen": grad_igen_j,
+        "grad_ireal": grad_ireal_j,
+        "update": update_j,
+        "student_fwd": student_fwd_j,
+        "d_step": d_step_j,
+    }
     return step
 
 

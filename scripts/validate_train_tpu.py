@@ -55,7 +55,33 @@ def _hbm(record, name):
         pass
 
 
-def run_e4e(record):
+def _mem_analysis(record, name, compiled):
+    """XLA compile-time memory plan (what the program will ask the HBM
+    allocator for) — distinguishes 'this program cannot fit' from 'the live
+    buffers around it tipped it over'."""
+    try:
+        ma = compiled.memory_analysis()
+        record[f"{name}_mem_gb"] = {
+            "args": round(ma.argument_size_in_bytes / 2**30, 3),
+            "out": round(ma.output_size_in_bytes / 2**30, 3),
+            "temp": round(ma.temp_size_in_bytes / 2**30, 3),
+            "alias": round(ma.alias_size_in_bytes / 2**30, 3),
+        }
+    except Exception:  # noqa: BLE001 — telemetry only
+        pass
+
+
+def _aot(record, name, jitted, *args, **kwargs):
+    """Lower+compile one program, recording compile wall time and the XLA
+    memory plan; returns the compiled executable."""
+    t0 = time.time()
+    compiled = jitted.lower(*args, **kwargs).compile()
+    record[f"{name}_compile_s"] = round(time.time() - t0, 1)
+    _mem_analysis(record, name, compiled)
+    return compiled
+
+
+def run_e4e(record, fast: bool = False):
     from invertavatar_tpu.models.encoders.e4e import LatentCodesDiscriminator
     from invertavatar_tpu.train.loop_inversion import (
         e4e_trainable,
@@ -103,40 +129,101 @@ def run_e4e(record):
     wd = LatentCodesDiscriminator()
     wd_tx = optax.adam(2e-5)
     # per-phase grad programs: the monolithic step (Ireal+Igen+WD in one XLA
-    # program) ResourceExhausted the 16 GB v5e at this config — r4 run 1
+    # program) ResourceExhausted the 16 GB v5e at this config — r4 run 1.
+    # Driven per-program here (step.programs) with AOT compile + XLA memory
+    # analysis so one program's OOM doesn't void the earlier evidence and the
+    # failing program's memory plan gets recorded.
+    fast_kw = dict(fast_igen_target="exact", fast_grad="structured") if fast else {}
     step = make_e4e_grad_programs(net, wd, lambda a, b: jnp.mean(jnp.abs(a - b)), None,
-                                  tx, wd_tx, weights, donate=True)
-    record["step_impl"] = "make_e4e_grad_programs (per-phase HBM split)"
+                                  tx, wd_tx, weights, donate=True, **fast_kw)
+    record["step_impl"] = (
+        "make_e4e_grad_programs (per-phase HBM split"
+        + (", structured fast paths)" if fast else ")")
+    )
     state = TrainState(params, tx.init(params), buffers)
     wd_vars = wd.init(jax.random.PRNGKey(1), jnp.zeros((1, 512)))
     wd_state = TrainState(wd_vars["params"], wd_tx.init(wd_vars["params"]), {})
-    # donation invalidates state.params after step1 — snapshot to host first
+    # donation invalidates state.params after update — snapshot to host first
     e0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params["encoder"])[:8]]
 
-    t0 = time.time()
-    s1, wd1, aux1 = step(state, wd_state, batch, jax.random.PRNGKey(2), do_wd_reg=True)
-    jax.block_until_ready(jax.tree_util.tree_leaves(s1.params)[0])
-    record["step1_s"] = round(time.time() - t0, 1)
-    _hbm(record, "step1")
-    del state
-    # read the losses BEFORE dispatching step 2 — the r4 run lost them to a
-    # ResourceExhausted during post-step2 readback (docs/train_tpu_run.json)
-    record["losses"] = {k: float(v) for k, v in aux1.items()}
-    record["finite_losses"] = _finite(aux1)
-    t0 = time.time()
-    s2, wd2, aux2 = step(s1, wd1, batch, jax.random.PRNGKey(3), do_wd_reg=False)
-    jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
-    record["step2_warm_s"] = round(time.time() - t0, 2)
-    _hbm(record, "step2")
-    record["finite_losses"] = record["finite_losses"] and _finite(aux2)
+    P = step.programs
+    record["losses"] = {}
+    record["finite_losses"] = True
+    rng1, rng2 = jax.random.PRNGKey(2), jax.random.PRNGKey(3)
+
+    def run_prog(name, jitted, *args, **static_kw):
+        # static_kw are jit static args — baked into the lowering, not passed
+        # at execution time
+        compiled = _aot(record, name, jitted, *args, **static_kw)
+        t0 = time.time()
+        out = compiled(*args)
+        jax.block_until_ready([x for x in jax.tree_util.tree_leaves(out)][:1])
+        record[f"{name}_s"] = round(time.time() - t0, 2)
+        _hbm(record, name)
+        return compiled, out
+
+    # cold pass, one program at a time
     try:
-        e1 = jax.tree_util.tree_leaves(s2.params["encoder"])[:8]
+        c_ireal, (g1, aux1) = run_prog(
+            "grad_ireal", P["grad_ireal"], state.params, state.buffers,
+            wd_state.params, batch, rng1,
+        )
+        record["losses"].update({k: float(v) for k, v in aux1.items()})
+        record["finite_losses"] = record["finite_losses"] and _finite(aux1)
+    except Exception as e:  # noqa: BLE001
+        record["grad_ireal_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        return record
+    try:
+        c_igen, (g2, aux2) = run_prog(
+            "grad_igen", P["grad_igen"], state.params, state.buffers,
+            wd_state.params, batch, rng1,
+        )
+        record["losses"].update({k: float(v) for k, v in aux2.items()})
+        record["finite_losses"] = record["finite_losses"] and _finite(aux2)
+    except Exception as e:  # noqa: BLE001
+        record["grad_igen_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        return record
+    try:
+        c_upd, (params2, opt2) = run_prog(
+            "update", P["update"], state.params, state.opt_state, g1, g2,
+        )
+        del g1, g2, state
+    except Exception as e:  # noqa: BLE001
+        record["update_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        return record
+    try:
+        _, (wd_state2, wd_aux) = run_prog(
+            "wd_step", P["wd_step"], params2, buffers, wd_state, batch, rng1,
+            do_wd_reg=True,
+        )
+        record["losses"].update({k: float(v) for k, v in wd_aux.items()})
+        record["finite_losses"] = record["finite_losses"] and _finite(wd_aux)
+    except Exception as e:  # noqa: BLE001
+        record["wd_step_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        wd_state2 = wd_state
+    try:
+        e1 = jax.tree_util.tree_leaves(params2["encoder"])[:8]
         record["encoder_params_moved"] = bool(
             any(np.abs(a - np.asarray(b)).max() > 0 for a, b in zip(e0, e1))
         )
     except Exception as e:  # noqa: BLE001 — a readback failure must not void the run
         record["encoder_params_moved"] = None
         record["encoder_params_moved_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    # warm full step from the compiled executables
+    try:
+        t0 = time.time()
+        g1b, aux1b = c_ireal(params2, buffers, wd_state2.params, batch, rng2)
+        g2b, aux2b = c_igen(params2, buffers, wd_state2.params, batch, rng2)
+        params3, opt3 = c_upd(params2, opt2, g1b, g2b)
+        jax.block_until_ready(jax.tree_util.tree_leaves(params3)[:1])
+        record["step_warm_s"] = round(time.time() - t0, 2)
+        _hbm(record, "step_warm")
+        record["finite_losses"] = (
+            record["finite_losses"] and _finite(aux1b) and _finite(aux2b)
+        )
+    except Exception as e:  # noqa: BLE001
+        record["warm_error"] = f"{type(e).__name__}: {str(e)[:300]}"
     return record
 
 
@@ -200,38 +287,83 @@ def run_oneshot(record):
     del variables, gen_vars
     t0l = [np.asarray(x) for x in
            jax.tree_util.tree_leaves(state.params["unet_encoder"]["texture_unet"])[:8]]
+    buffers_ref = state.buffers  # survives `del state` (frozen collections)
 
-    t0 = time.time()
-    s1, _, aux1 = step(state, None, batch, jax.random.PRNGKey(1), phase="Igen")
-    jax.block_until_ready(jax.tree_util.tree_leaves(s1.params)[0])
-    record["igen_step1_s"] = round(time.time() - t0, 1)
-    _hbm(record, "igen_step1")
-    del state
-    record["losses"] = {k: float(v) for k, v in aux1.items()}
-    record["finite_losses"] = _finite(aux1)
-    t0 = time.time()
-    s2, _, aux2 = step(s1, None, batch, jax.random.PRNGKey(2), phase="Ireal")
-    jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
-    record["ireal_step1_s"] = round(time.time() - t0, 1)
-    _hbm(record, "ireal_step1")
-    del s1
-    record["losses"].update({k: float(v) for k, v in aux2.items()})
-    record["finite_losses"] = record["finite_losses"] and _finite(aux2)
-    t0 = time.time()
-    s3, _, aux3 = step(s2, None, batch, jax.random.PRNGKey(3), phase="Igen")
-    jax.block_until_ready(jax.tree_util.tree_leaves(s3.params)[0])
-    record["igen_step2_warm_s"] = round(time.time() - t0, 2)
-    _hbm(record, "igen_step2")
-    del s2
-    record["finite_losses"] = record["finite_losses"] and _finite(aux3)
+    P = step.programs
+    record["losses"] = {}
+    record["finite_losses"] = True
+    rng1, rng2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+
+    def run_prog(name, jitted, *args, **static_kw):
+        compiled = _aot(record, name, jitted, *args, **static_kw)
+        t0 = time.time()
+        out_ = compiled(*args)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out_)[:1])
+        record[f"{name}_s"] = round(time.time() - t0, 2)
+        _hbm(record, name)
+        return compiled, out_
+
+    # Igen cold: targets (no-grad render) -> student fwd+bwd -> update
     try:
-        t1l = jax.tree_util.tree_leaves(s3.params["unet_encoder"]["texture_unet"])[:8]
+        c_tgt, (ws_t, gen_out) = run_prog(
+            "igen_targets", P["igen_targets"], state.params, state.buffers,
+            batch["z"], batch["c"], batch["v"], rng1,
+        )
+    except Exception as e:  # noqa: BLE001
+        record["igen_targets_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        return record
+    try:
+        c_gi, (g, aux1) = run_prog(
+            "grad_igen", P["grad_igen"], state.params, state.buffers, None,
+            ws_t, gen_out, batch, rng1,
+        )
+        record["losses"].update({k: float(v) for k, v in aux1.items()})
+        record["finite_losses"] = record["finite_losses"] and _finite(aux1)
+        del ws_t, gen_out
+    except Exception as e:  # noqa: BLE001
+        record["grad_igen_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        return record
+    try:
+        c_upd, (params2, opt2) = run_prog(
+            "update", P["update"], state.params, state.opt_state, g,
+        )
+        del g, state
+    except Exception as e:  # noqa: BLE001
+        record["update_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        return record
+    # Ireal cold
+    try:
+        c_gr, (g2, aux2) = run_prog(
+            "grad_ireal", P["grad_ireal"], params2, buffers_ref, None, batch, rng1,
+        )
+        record["losses"].update({k: float(v) for k, v in aux2.items()})
+        record["finite_losses"] = record["finite_losses"] and _finite(aux2)
+        params3, opt3 = c_upd(params2, opt2, g2)
+        del g2, params2, opt2
+    except Exception as e:  # noqa: BLE001
+        record["grad_ireal_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        params3, opt3 = params2, opt2
+    try:
+        t1l = jax.tree_util.tree_leaves(params3["unet_encoder"]["texture_unet"])[:8]
         record["texture_unet_moved"] = bool(
             any(np.abs(a - np.asarray(b)).max() > 0 for a, b in zip(t0l, t1l))
         )
     except Exception as e:  # noqa: BLE001
         record["texture_unet_moved"] = None
         record["texture_unet_moved_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    # warm Igen step from compiled executables
+    try:
+        t0 = time.time()
+        ws_t, gen_out = c_tgt(params3, buffers_ref, batch["z"], batch["c"],
+                              batch["v"], rng2)
+        gw, auxw = c_gi(params3, buffers_ref, None, ws_t, gen_out, batch, rng2)
+        params4, _ = c_upd(params3, opt3, gw)
+        jax.block_until_ready(jax.tree_util.tree_leaves(params4)[:1])
+        record["igen_step_warm_s"] = round(time.time() - t0, 2)
+        _hbm(record, "igen_step_warm")
+        record["finite_losses"] = record["finite_losses"] and _finite(auxw)
+    except Exception as e:  # noqa: BLE001
+        record["warm_error"] = f"{type(e).__name__}: {str(e)[:300]}"
     return record
 
 
@@ -271,6 +403,21 @@ def main():
         out["configs"]["e4e_B1"] = rec
         try:
             run_e4e(rec)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        print(json.dumps(rec), flush=True)
+
+    if mode == "e4e-fast":
+        # structured fast paths (train/fast_render.py): exact windowed Igen
+        # target + structured grad sampling — the documented-deviation config
+        # for when the literal formulation is HBM-marginal on a 16 GB chip
+        print("== e4e stage (structured fast paths) ==", flush=True)
+        rec = {}
+        out["configs"]["e4e_B1_fast"] = rec
+        try:
+            run_e4e(rec, fast=True)
         except Exception as e:  # noqa: BLE001
             rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
         finally:
