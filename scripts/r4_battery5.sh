@@ -14,6 +14,10 @@ echo "=== e4e (per-program AOT + memory analysis) ==="
 JAX_COMPILATION_CACHE_DIR=/tmp/jc_e4e2 timeout 4800 python scripts/validate_train_tpu.py e4e > /tmp/r4f_e4e.log 2>&1; echo "e4e RC=$?"
 echo "=== e4e structured fast paths ==="
 JAX_COMPILATION_CACHE_DIR=/tmp/jc_e4ef timeout 4800 python scripts/validate_train_tpu.py e4e-fast > /tmp/r4f_e4efast.log 2>&1; echo "e4efast RC=$?"
+echo "=== oneshot (per-program AOT + memory analysis) ==="
+JAX_COMPILATION_CACHE_DIR=/tmp/jc_os2 timeout 4800 python scripts/validate_train_tpu.py oneshot > /tmp/r4f_oneshot.log 2>&1; echo "oneshot RC=$?"
+echo "=== oneshot structured fast paths ==="
+JAX_COMPILATION_CACHE_DIR=/tmp/jc_osf timeout 4800 python scripts/validate_train_tpu.py oneshot-fast > /tmp/r4f_oneshotfast.log 2>&1; echo "oneshotfast RC=$?"
 echo "=== raster visibility ==="
 timeout 2400 python scripts/raster_visibility.py > /tmp/r4f_rastervis.log 2>&1; echo "rastervis RC=$?"
 echo "=== rect tiles (adds 128x8, 256x4) ==="

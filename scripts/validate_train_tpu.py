@@ -227,7 +227,7 @@ def run_e4e(record, fast: bool = False):
     return record
 
 
-def run_oneshot(record):
+def run_oneshot(record, fast: bool = False):
     from invertavatar_tpu.models.encoders.uvnet import texture_out_channels_for
     from invertavatar_tpu.train.loop_inversion import (
         make_oneshot_grad_programs,
@@ -277,11 +277,15 @@ def run_oneshot(record):
     # per-phase split (CPU-parity-tested vs the monolith): the monolithic
     # Igen program killed the remote compile helper twice (HTTP 500 after
     # ~16 min — this file's r4 records); donate=True keeps one param set live
+    fast_kw = dict(fast_igen_target="exact", fast_grad="structured") if fast else {}
     step = make_oneshot_grad_programs(
         net, None, lambda a, b: jnp.mean(jnp.abs(a - b)), None,
-        tx, None, weights, donate=True,
+        tx, None, weights, donate=True, **fast_kw,
     )
-    record["step_impl"] = "make_oneshot_grad_programs (per-phase split, donated update)"
+    record["step_impl"] = (
+        "make_oneshot_grad_programs (per-phase split, donated update"
+        + (", structured fast paths)" if fast else ")")
+    )
     state = TrainState(variables["params"], tx.init(variables["params"]),
                        {k: v for k, v in variables.items() if k != "params"})
     del variables, gen_vars
@@ -430,6 +434,18 @@ def main():
         out["configs"]["oneshot_B1"] = rec
         try:
             run_oneshot(rec)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        print(json.dumps(rec), flush=True)
+
+    if mode == "oneshot-fast":
+        print("== one-shot stage (structured fast paths) ==", flush=True)
+        rec = {}
+        out["configs"]["oneshot_B1_fast"] = rec
+        try:
+            run_oneshot(rec, fast=True)
         except Exception as e:  # noqa: BLE001
             rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
         finally:
