@@ -354,22 +354,41 @@ class TriPlaneGenerator(nn.Module):
 
         blended_planes = self._blend_planes(rendering_stitch, full_alpha, static_plane)
 
-        decoder = lambda feats: self.decoder(feats)
+        # staged rematerialization (rk['remat_stages'] / rendering_overrides):
+        # the literal-formulation training render's backward holds the volume
+        # pass's gather residuals AND the SR/backbone residuals at once — the
+        # sum ResourceExhausts a 16 GB v5e at nrr=128 (docs/train_tpu_run.json
+        # r4). With each stage rematted, the forward stores only stage
+        # boundaries and the backward peak is the LARGEST stage, not the sum.
+        remat_stages = bool(rk.get("remat_stages", False))
+
         decoder_params = self.decoder(None, return_params=True)
-        feature_samples, depth_samples, _ = self.renderer(
-            blended_planes, decoder, ray_o, ray_d, rk, evaluation=evaluation, rng=rng,
-            decoder_params=decoder_params,
+
+        def _volume(m, planes_, ray_o_, ray_d_, rng_, dec_params):
+            dec = lambda feats: m.decoder(feats)
+            return m.renderer(
+                planes_, dec, ray_o_, ray_d_, rk, evaluation=evaluation, rng=rng_,
+                decoder_params=dec_params,
+            )
+
+        if remat_stages:
+            _volume = nn.remat(_volume)
+        feature_samples, depth_samples, _ = _volume(
+            self, blended_planes, ray_o, ray_d, rng, decoder_params
         )
         B = ws.shape[0]
         feature_image = feature_samples.reshape(B, res, res, feature_samples.shape[-1])
         depth_image = depth_samples.reshape(B, res, res, 1)
         rgb_image = feature_image[..., :3]
-        sr_image = self.superresolution(
-            rgb_image,
-            feature_image,
-            ws,
-            noise_mode=rk.get("superresolution_noise_mode", "none"),
-        )
+
+        def _sr(m, rgb_, feat_, ws_):
+            return m.superresolution(
+                rgb_, feat_, ws_, noise_mode=rk.get("superresolution_noise_mode", "none")
+            )
+
+        if remat_stages:
+            _sr = nn.remat(_sr)
+        sr_image = _sr(self, rgb_image, feature_image, ws)
         return {
             "image": sr_image,
             "image_raw": rgb_image,
@@ -439,15 +458,28 @@ class TriPlaneGenerator(nn.Module):
         if static_feats is None:
             static_feats = self.backbone.synthesis(ws, return_list=True, noise_mode=noise_mode)
         static_plane = _to_planes(static_feats[-1])
-        rendering_images, full_alpha, _ = self.rasterize(
-            texture_feats,
-            mesh_condition["uvcoords_image"],
-            self._static_feats_for_raster(static_feats),
-            static_small=raster_static_cache,
-            texture_concat_cache=texture_concat_cache,
+
+        remat_stages = bool(
+            (rendering_overrides or {}).get(
+                "remat_stages", (self.rendering_kwargs or {}).get("remat_stages", False)
+            )
         )
-        rendering_stitch = self.face_backbone.synthesis(
-            ws, cond_list=rendering_images, noise_mode=noise_mode
+
+        def _raster_face(m, texture_feats_, uvc_, static_feats_, cache_, tex_cat_, ws_):
+            rendering_images, full_alpha_, _ = m.rasterize(
+                texture_feats_, uvc_, m._static_feats_for_raster(static_feats_),
+                static_small=cache_, texture_concat_cache=tex_cat_,
+            )
+            stitch = m.face_backbone.synthesis(
+                ws_, cond_list=rendering_images, noise_mode=noise_mode
+            )
+            return stitch, full_alpha_
+
+        if remat_stages:
+            _raster_face = nn.remat(_raster_face)
+        rendering_stitch, full_alpha = _raster_face(
+            self, texture_feats, mesh_condition["uvcoords_image"], static_feats,
+            raster_static_cache, texture_concat_cache, ws,
         )
         return self._render_core(
             ws, c, rendering_stitch, full_alpha, static_plane, evaluation, noise_mode, self._rng(),

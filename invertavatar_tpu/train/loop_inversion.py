@@ -241,6 +241,8 @@ def make_e4e_grad_programs(
     fast_igen_target: str = "off",
     fast_grad: str = "off",
     fast_interpret: bool = False,
+    remat: bool = False,
+    grad_subtree: Optional[str] = "encoder",
 ):
     """HBM-split variant of `make_e4e_train_step` (same math, three programs).
 
@@ -286,19 +288,57 @@ def make_e4e_grad_programs(
             )
 
         def _synthesis(ws, c, v, overrides=None, evaluation=False):
-            return E4E_module.apply(
-                variables, ws, c, v,
-                method=lambda m, ws, c, v: m.generator.synthesis_withTexture(
-                    ws,
-                    m.generator.texture_backbone.synthesis(ws, return_list=True, noise_mode="const"),
-                    c, v,
-                    static_feats=m.generator.backbone.synthesis(ws, return_list=True, noise_mode="const"),
-                    noise_mode="const",
-                    evaluation=evaluation,
-                    rendering_overrides=overrides,
-                ),
-                rngs=rngs,
-            )
+            if not remat:
+                return E4E_module.apply(
+                    variables, ws, c, v,
+                    method=lambda m, ws, c, v: m.generator.synthesis_withTexture(
+                        ws,
+                        m.generator.texture_backbone.synthesis(ws, return_list=True, noise_mode="const"),
+                        c, v,
+                        static_feats=m.generator.backbone.synthesis(ws, return_list=True, noise_mode="const"),
+                        noise_mode="const",
+                        evaluation=evaluation,
+                        rendering_overrides=overrides,
+                    ),
+                    rngs=rngs,
+                )
+            # staged remat: the two backbone syntheses and the raster→render→SR
+            # tail become separate jax.checkpoint segments (plus the model-level
+            # remat_stages split inside synthesis_withTexture), so the grad
+            # program's backward peak is the LARGEST segment's residuals
+            # instead of their sum. Same math — grads are bitwise-reproduced
+            # by recomputation (tests/test_loop_inversion.py remat parity).
+            overrides = {**(overrides or {}), "remat_stages": True}
+
+            def tex_fn(variables_, ws_):
+                return E4E_module.apply(
+                    variables_, ws_,
+                    method=lambda m, w: m.generator.texture_backbone.synthesis(
+                        w, return_list=True, noise_mode="const"),
+                    rngs=rngs,
+                )
+
+            def static_fn(variables_, ws_):
+                return E4E_module.apply(
+                    variables_, ws_,
+                    method=lambda m, w: m.generator.backbone.synthesis(
+                        w, return_list=True, noise_mode="const"),
+                    rngs=rngs,
+                )
+
+            def tail_fn(variables_, ws_, tex_, static_, c_, v_):
+                return E4E_module.apply(
+                    variables_, ws_, tex_, static_, c_, v_,
+                    method=lambda m, w, t, s, cc, vv: m.generator.synthesis_withTexture(
+                        w, t, cc, vv, static_feats=s, noise_mode="const",
+                        evaluation=evaluation, rendering_overrides=overrides,
+                    ),
+                    rngs=rngs,
+                )
+
+            tex = jax.checkpoint(tex_fn)(variables, ws)
+            static = jax.checkpoint(static_fn)(variables, ws)
+            return jax.checkpoint(tail_fn)(variables, ws, tex, static, c, v)
 
         def gen_synthesis(ws, c, v):
             # the GRAD-carrying student render (evaluation stays False;
@@ -312,11 +352,30 @@ def make_e4e_grad_programs(
         )
         return encode, gen_mapping, gen_synthesis, gen_synthesis_target
 
+    def _split(params):
+        # differentiate w.r.t. the trainable subtree ONLY: the frozen
+        # generator's grads are structural zeros (stop_gradient), but
+        # value_and_grad over the full tree still MATERIALIZES them — a
+        # full-param-size buffer that stays live between the two grad
+        # programs. At the flagship config that is the difference between
+        # grad_igen fitting and ResourceExhausting: each grad program plans
+        # ~11.2 GB temp + 1.1 GB out (docs/train_tpu_run.json e4e_B1
+        # *_mem_gb), and the 1.1 GB full-tree g1 pushes the second program
+        # past 16 GB.
+        if grad_subtree is None:
+            return params, {}
+        return (
+            {grad_subtree: params[grad_subtree]},
+            {k: v for k, v in params.items() if k != grad_subtree},
+        )
+
     def grad_ireal(params, buffers, wd_params, batch, rng):
         rngs = _rngs(rng)
         latent_avg = buffers["buffers"]["latent_avg"]
+        train, frozen = _split(params)
 
-        def f(p):
+        def f(tp):
+            p = {**frozen, **tp}
             encode, _, gen_synthesis, _ = _enc_gen(p, buffers, rngs)
             wd_apply = (
                 (lambda w: wd_module.apply({"params": wd_params}, w))
@@ -327,14 +386,16 @@ def make_e4e_grad_programs(
                 latent_avg, batch["image"], batch["c"], batch["v"],
             )
 
-        (_, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        (_, aux), grads = jax.value_and_grad(f, has_aux=True)(train)
         return grads, {f"Ireal/{k}": v for k, v in aux.items()}
 
     def grad_igen(params, buffers, wd_params, batch, rng):
         rngs = _rngs(rng)
         latent_avg = buffers["buffers"]["latent_avg"]
+        train, frozen = _split(params)
 
-        def f(p):
+        def f(tp):
+            p = {**frozen, **tp}
             encode, gen_mapping, gen_synthesis, gen_target = _enc_gen(p, buffers, rngs)
             wd_apply = (
                 (lambda w: wd_module.apply({"params": wd_params}, w))
@@ -346,11 +407,19 @@ def make_e4e_grad_programs(
                 gen_synthesis_target=gen_target,
             )
 
-        (_, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        (_, aux), grads = jax.value_and_grad(f, has_aux=True)(train)
         return grads, {f"Igen/{k}": v for k, v in aux.items()}
 
     def _update(params, opt_state, g1, g2):
         grads = jax.tree_util.tree_map(jnp.add, g1, g2)
+        if grad_subtree is not None:
+            # reconstitute the full-tree grads with zeros on the frozen
+            # subtrees INSIDE the (small) update program
+            grads = {
+                **{k: jax.tree_util.tree_map(jnp.zeros_like, v)
+                   for k, v in params.items() if k != grad_subtree},
+                **grads,
+            }
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 
@@ -568,6 +637,8 @@ def make_oneshot_grad_programs(
     fast_igen_target: str = "off",
     fast_grad: str = "off",
     fast_interpret: bool = False,
+    remat: bool = False,
+    grad_subtree: Optional[str] = "unet_encoder",
 ):
     """HBM/compile split of `make_oneshot_train_step` (same math, smaller
     programs, same step contract).
@@ -593,6 +664,11 @@ def make_oneshot_grad_programs(
 
     igen_target_ov = nograd_overrides(fast_igen_target, interpret=fast_interpret)
     grad_ov = grad_overrides(fast_grad, interpret=fast_interpret)
+    if remat:
+        # staged remat on the grad-carrying student render (model-level
+        # remat_stages — see TriPlaneGenerator.synthesis_withTexture); the
+        # no-grad target renders save no residuals and stay as-is
+        grad_ov = {**(grad_ov or {}), "remat_stages": True}
 
     def _rngs(rng):
         return {"noise": jax.random.fold_in(rng, 0), "ray": jax.random.fold_in(rng, 1)}
@@ -637,11 +713,24 @@ def make_oneshot_grad_programs(
             "encoder": jax.lax.stop_gradient(params["encoder"]),
         }
 
+    def _split(params):
+        # grads only over the trainable subtree — the frozen generator/e4e
+        # grads are structural zeros but full-tree value_and_grad would
+        # materialize them as a live full-param-size buffer between programs
+        # (see make_e4e_grad_programs._split)
+        if grad_subtree is None:
+            return params, {}
+        return (
+            {grad_subtree: params[grad_subtree]},
+            {k: v for k, v in params.items() if k != grad_subtree},
+        )
+
     def grad_igen(params, buffers, d_params, ws_t, gen_out, batch, rng):
         rngs = _rngs(rng)
+        train, frozen_rest = _split(params)
 
-        def f(p):
-            p = _frozen(p)
+        def f(tp):
+            p = _frozen({**frozen_rest, **tp})
             inv_forward = lambda x, c, v, rf: _inv_forward(p, buffers, rngs, x, c, v, rf)
             d_apply = None
             if d_params is not None and D_module is not None and weights.adv > 0:
@@ -657,14 +746,15 @@ def make_oneshot_grad_programs(
             )
             return total, {f"Igen/{k}": v for k, v in losses.items()}
 
-        (_, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        (_, aux), grads = jax.value_and_grad(f, has_aux=True)(train)
         return grads, aux
 
     def grad_ireal(params, buffers, d_params, batch, rng):
         rngs = _rngs(rng)
+        train, frozen_rest = _split(params)
 
-        def f(p):
-            p = _frozen(p)
+        def f(tp):
+            p = _frozen({**frozen_rest, **tp})
             inv_forward = lambda x, c, v, rf: _inv_forward(p, buffers, rngs, x, c, v, rf)
             d_apply = None
             if d_params is not None and D_module is not None and weights.adv > 0:
@@ -678,10 +768,16 @@ def make_oneshot_grad_programs(
             )
             return total, {f"Ireal/{k}": v for k, v in losses.items()}
 
-        (_, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        (_, aux), grads = jax.value_and_grad(f, has_aux=True)(train)
         return grads, aux
 
     def update(params, opt_state, grads):
+        if grad_subtree is not None:
+            grads = {
+                **{k: jax.tree_util.tree_map(jnp.zeros_like, v)
+                   for k, v in params.items() if k != grad_subtree},
+                **grads,
+            }
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt
 

@@ -81,7 +81,7 @@ def _aot(record, name, jitted, *args, **kwargs):
     return compiled
 
 
-def run_e4e(record, fast: bool = False):
+def run_e4e(record, fast: bool = False, remat: bool = False):
     from invertavatar_tpu.models.encoders.e4e import LatentCodesDiscriminator
     from invertavatar_tpu.train.loop_inversion import (
         e4e_trainable,
@@ -135,10 +135,13 @@ def run_e4e(record, fast: bool = False):
     # failing program's memory plan gets recorded.
     fast_kw = dict(fast_igen_target="exact", fast_grad="structured") if fast else {}
     step = make_e4e_grad_programs(net, wd, lambda a, b: jnp.mean(jnp.abs(a - b)), None,
-                                  tx, wd_tx, weights, donate=True, **fast_kw)
+                                  tx, wd_tx, weights, donate=True, remat=remat,
+                                  **fast_kw)
     record["step_impl"] = (
         "make_e4e_grad_programs (per-phase HBM split"
-        + (", structured fast paths)" if fast else ")")
+        + (", structured fast paths" if fast else "")
+        + (", staged remat" if remat else "")
+        + ")"
     )
     state = TrainState(params, tx.init(params), buffers)
     wd_vars = wd.init(jax.random.PRNGKey(1), jnp.zeros((1, 512)))
@@ -227,7 +230,7 @@ def run_e4e(record, fast: bool = False):
     return record
 
 
-def run_oneshot(record, fast: bool = False):
+def run_oneshot(record, fast: bool = False, remat: bool = False):
     from invertavatar_tpu.models.encoders.uvnet import texture_out_channels_for
     from invertavatar_tpu.train.loop_inversion import (
         make_oneshot_grad_programs,
@@ -280,11 +283,13 @@ def run_oneshot(record, fast: bool = False):
     fast_kw = dict(fast_igen_target="exact", fast_grad="structured") if fast else {}
     step = make_oneshot_grad_programs(
         net, None, lambda a, b: jnp.mean(jnp.abs(a - b)), None,
-        tx, None, weights, donate=True, **fast_kw,
+        tx, None, weights, donate=True, remat=remat, **fast_kw,
     )
     record["step_impl"] = (
         "make_oneshot_grad_programs (per-phase split, donated update"
-        + (", structured fast paths)" if fast else ")")
+        + (", structured fast paths" if fast else "")
+        + (", staged remat" if remat else "")
+        + ")"
     )
     state = TrainState(variables["params"], tx.init(variables["params"]),
                        {k: v for k, v in variables.items() if k != "params"})
@@ -434,6 +439,58 @@ def main():
         out["configs"]["oneshot_B1"] = rec
         try:
             run_oneshot(rec)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        print(json.dumps(rec), flush=True)
+
+    if mode == "e4e-subtree":
+        # literal formulation, grads over the encoder subtree only (the HBM
+        # plan's cheap half — no recompute); distinct key so the battery-5
+        # full-tree OOM record (e4e_B1) stays as the memory-plan evidence
+        print("== e4e stage (literal, encoder-subtree grads) ==", flush=True)
+        rec = {}
+        out["configs"]["e4e_B1_subtree"] = rec
+        try:
+            run_e4e(rec)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        print(json.dumps(rec), flush=True)
+
+    if mode == "oneshot-subtree":
+        print("== one-shot stage (literal, unet-subtree grads) ==", flush=True)
+        rec = {}
+        out["configs"]["oneshot_B1_subtree"] = rec
+        try:
+            run_oneshot(rec)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        print(json.dumps(rec), flush=True)
+
+    if mode == "e4e-remat":
+        # staged remat, literal formulation/sampling — the exact-math HBM plan
+        print("== e4e stage (staged remat, literal formulation) ==", flush=True)
+        rec = {}
+        out["configs"]["e4e_B1_remat"] = rec
+        try:
+            run_e4e(rec, remat=True)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        print(json.dumps(rec), flush=True)
+
+    if mode == "oneshot-remat":
+        print("== one-shot stage (staged remat, literal formulation) ==", flush=True)
+        rec = {}
+        out["configs"]["oneshot_B1_remat"] = rec
+        try:
+            run_oneshot(rec, remat=True)
         except Exception as e:  # noqa: BLE001
             rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
         finally:

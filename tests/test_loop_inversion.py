@@ -192,6 +192,37 @@ def test_e4e_grad_programs_parity():
 
 
 @pytest.mark.slow
+def test_e4e_grad_programs_remat_parity():
+    """Staged rematerialization (remat=True → jax.checkpoint segments in the
+    loss + model-level remat_stages inside synthesis_withTexture) reproduces
+    the literal split step's losses and updated params: remat recomputes the
+    SAME forward, so grads differ only by XLA re-association. This flag is
+    the HBM plan for the literal-formulation inversion steps on the 16 GB
+    v5e, where the un-rematted backward's residual SUM ResourceExhausts
+    (docs/train_tpu_run.json r4)."""
+    from invertavatar_tpu.train.loop_inversion import make_e4e_grad_programs
+
+    net, state, wd, wd_state, batch, tx, wd_tx, weights = _tiny_e4e_setup()
+    lpips = lambda a, b: jnp.mean(jnp.abs(a - b))
+    base = make_e4e_grad_programs(net, wd, lpips, None, tx, wd_tx, weights)
+    rem = make_e4e_grad_programs(net, wd, lpips, None, tx, wd_tx, weights, remat=True)
+
+    rng = jax.random.PRNGKey(2)
+    b_state, b_wd, b_aux = base(state, wd_state, batch, rng, do_wd_reg=True)
+    r_state, r_wd, r_aux = rem(state, wd_state, batch, rng, do_wd_reg=True)
+
+    for k in b_aux:
+        np.testing.assert_allclose(float(b_aux[k]), float(r_aux[k]), rtol=2e-4,
+                                   atol=1e-6, err_msg=k)
+    fb = jax.tree_util.tree_flatten_with_path(b_state.params)[0]
+    fr = jax.tree_util.tree_flatten_with_path(r_state.params)[0]
+    for (pb, ab), (pr, ar) in zip(fb, fr):
+        assert pb == pr
+        np.testing.assert_allclose(np.asarray(ab), np.asarray(ar), rtol=1e-4,
+                                   atol=1e-5, err_msg=jax.tree_util.keystr(pb))
+
+
+@pytest.mark.slow
 def test_fewshot_step_tiny():
     """Ireal + Igen + D steps over the tiny generator with matched unet widths.
 
