@@ -41,4 +41,6 @@ fi
 
 echo "=== headline bench (mxu_util ledger) ==="
 timeout 2400 python bench.py > /tmp/r4g_bench.log 2>&1; echo "bench RC=$?"
+echo "=== online frame anatomy ==="
+timeout 3600 python scripts/profile_online.py > /tmp/r4g_online.log 2>&1; echo "online RC=$?"
 echo "battery6 done"
