@@ -138,19 +138,20 @@ class InversionNet(nn.Module):
         uv_delta = uv_delta * mask + self.black_uv_bg.value * (1 - mask)
         return jnp.concatenate([uv_gttex, uv_delta, mask], axis=-1)
 
-    # ----------------------------------------------------------------- forward
-    def __call__(self, x: Dict, cam, v, e4e_results: Optional[Dict] = None,
-                 return_feats: bool = False, train: bool = False,
-                 evaluation: bool = False,
-                 nograd_render: Optional[Dict] = None,
-                 grad_render: Optional[Dict] = None):
-        """Single-frame forward (uvnet.py:123-158). x: {'image': [B,H,W,3+], 'uv': [B,256,256,6]}.
-
-        `evaluation=True` marks an inference call (both renders may ride the
-        eval kernel paths). `nograd_render` / `grad_render`
-        (train/fast_render override dicts) route the stop-gradient e4e render
-        / the grad-carrying student render through the structured sampling
-        paths during TRAINING."""
+    # ------------------------------------------------------------------ prefix
+    def prefix(self, x: Dict, cam, v, e4e_results: Optional[Dict] = None,
+               train: bool = False, evaluation: bool = False,
+               nograd_render: Optional[Dict] = None) -> Dict:
+        """The stop-gradient prefix of the forward: e4e W+ codes, the frozen
+        generator's texture pyramid, and the e4e reconstruction render
+        (uvnet.py:123-131 up to delta_x). Everything the U-Net stage consumes
+        downstream; nothing here carries gradients in any inversion stage, so
+        it can run as its OWN XLA program — the one-shot grad program's HBM
+        plan (docs/train_tpu_run.json oneshot_B1_remat: the grad program's
+        12 GB temp is this prefix render's working set, which neither subtree
+        grads nor remat can touch). Returns {'w', 'texture', 'e4e_image'}
+        (the plain backbone features are prefix-render-local and not
+        returned)."""
         sg = jax.lax.stop_gradient
         if e4e_results is None:
             ws = self.encode(x["image"][..., :3], train=train)
@@ -171,7 +172,34 @@ class InversionNet(nn.Module):
             e4e_image = resize_bilinear(
                 e4e_image, (x["image"].shape[1], x["image"].shape[2]), antialias=True
             )
-        ws, tex, static, e4e_image = sg(ws), sg(tex), sg(static), sg(e4e_image)
+        return {"w": sg(ws), "texture": sg(tex), "e4e_image": sg(e4e_image)}
+
+    # ----------------------------------------------------------------- forward
+    def __call__(self, x: Dict, cam, v, e4e_results: Optional[Dict] = None,
+                 return_feats: bool = False, train: bool = False,
+                 evaluation: bool = False,
+                 nograd_render: Optional[Dict] = None,
+                 grad_render: Optional[Dict] = None,
+                 prefix_results: Optional[Dict] = None):
+        """Single-frame forward (uvnet.py:123-158). x: {'image': [B,H,W,3+], 'uv': [B,256,256,6]}.
+
+        `evaluation=True` marks an inference call (both renders may ride the
+        eval kernel paths). `nograd_render` / `grad_render`
+        (train/fast_render override dicts) route the stop-gradient e4e render
+        / the grad-carrying student render through the structured sampling
+        paths during TRAINING. `prefix_results` (a `prefix()` output dict)
+        skips the whole stop-gradient prefix — the encoder params and the
+        prefix render never enter this computation, which is what lets the
+        one-shot grad program fit the 16 GB v5e."""
+        sg = jax.lax.stop_gradient
+        if prefix_results is None:
+            prefix_results = self.prefix(
+                x, cam, v, e4e_results=e4e_results, train=train,
+                evaluation=evaluation, nograd_render=nograd_render,
+            )
+        ws = sg(prefix_results["w"])
+        tex = sg(prefix_results["texture"])
+        e4e_image = sg(prefix_results["e4e_image"])
         delta_x = e4e_image - x["image"][..., :3]
 
         x_input = self.get_unet_uvinput(x["uv"], delta_x)

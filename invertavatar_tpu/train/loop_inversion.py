@@ -639,6 +639,7 @@ def make_oneshot_grad_programs(
     fast_interpret: bool = False,
     remat: bool = False,
     grad_subtree: Optional[str] = "unet_encoder",
+    prefix_split: bool = False,
 ):
     """HBM/compile split of `make_oneshot_train_step` (same math, smaller
     programs, same step contract).
@@ -659,6 +660,22 @@ def make_oneshot_grad_programs(
     loss+update in another (no generator render in the D grad program at
     all). Loss math is `oneshot_igen_loss`/`oneshot_ireal_loss` verbatim —
     the target closures just return the precomputed tensors.
+
+    `prefix_split=True` additionally moves the stop-gradient PREFIX of the
+    student forward (e4e encode + texture pyramid + e4e reconstruction
+    render, `InversionNet.prefix`) into its own program. Why: subtree grads
+    and staged remat both left the literal grad_igen plan at ~17 GB
+    (docs/train_tpu_run.json `oneshot_B1_subtree`/`oneshot_B1_remat`) —
+    the 12 GB temp is the prefix render's forward working set, which is
+    neither a grad buffer nor a rematerializable residual. Splitting it out
+    (a) removes that working set from the grad program, (b) drops the 0.78 GB
+    encoder param set from the grad program's args (it only needs
+    generator + unet_encoder), at the cost of ~0.15 GB of prefix outputs
+    (W+, texture pyramid, one e4e image) crossing the program boundary.
+    The prefix program draws its ray rng from a distinct fold, so the
+    prefix and student renders keep independent stochastic strata exactly
+    like two draws inside the monolith (unet_loss.py semantics: the e4e
+    render and the student render are independent forward passes).
     """
     from .fast_render import grad_overrides, nograd_overrides
 
@@ -673,13 +690,26 @@ def make_oneshot_grad_programs(
     def _rngs(rng):
         return {"noise": jax.random.fold_in(rng, 0), "ray": jax.random.fold_in(rng, 1)}
 
-    def _inv_forward(params, buffers, rngs, x, c, v, return_feats):
+    def _inv_forward(params, buffers, rngs, x, c, v, return_feats, prefix_out=None):
         return I_module.apply(
             {"params": params, **buffers}, x, c, v,
             method=lambda m, x, c, v: m(
                 x, c, v, return_feats=return_feats,
                 nograd_render=igen_target_ov, grad_render=grad_ov,
+                prefix_results=prefix_out,
             ),
+            rngs=rngs,
+        )
+
+    def prefix(enc_params, buffers, x, c, v, rng):
+        """Stop-gradient prefix (InversionNet.prefix) as its own program —
+        enc_params needs only {'generator', 'encoder'}. Ray rng folds from a
+        distinct constant so the prefix render and the student render keep
+        independent strata (as two independent draws do in the monolith)."""
+        rngs = _rngs(jax.random.fold_in(rng, 2))
+        return I_module.apply(
+            {"params": enc_params, **buffers}, x, c, v,
+            method=lambda m, x, c, v: m.prefix(x, c, v, nograd_render=igen_target_ov),
             rngs=rngs,
         )
 
@@ -707,10 +737,11 @@ def make_oneshot_grad_programs(
         return ws, {k: gen_out[k] for k in keep if k in gen_out}
 
     def _frozen(params):
+        # under prefix_split the grad programs' param dict has no 'encoder'
+        # (the e4e trunk lives only in the prefix program)
         return {
-            **params,
-            "generator": jax.lax.stop_gradient(params["generator"]),
-            "encoder": jax.lax.stop_gradient(params["encoder"]),
+            k: (jax.lax.stop_gradient(v) if k in ("generator", "encoder") else v)
+            for k, v in params.items()
         }
 
     def _split(params):
@@ -725,13 +756,14 @@ def make_oneshot_grad_programs(
             {k: v for k, v in params.items() if k != grad_subtree},
         )
 
-    def grad_igen(params, buffers, d_params, ws_t, gen_out, batch, rng):
+    def grad_igen(params, buffers, d_params, ws_t, gen_out, batch, rng, prefix_out=None):
         rngs = _rngs(rng)
         train, frozen_rest = _split(params)
 
         def f(tp):
             p = _frozen({**frozen_rest, **tp})
-            inv_forward = lambda x, c, v, rf: _inv_forward(p, buffers, rngs, x, c, v, rf)
+            inv_forward = lambda x, c, v, rf: _inv_forward(
+                p, buffers, rngs, x, c, v, rf, prefix_out)
             d_apply = None
             if d_params is not None and D_module is not None and weights.adv > 0:
                 d_apply = lambda img, c: D_module.apply(
@@ -749,13 +781,14 @@ def make_oneshot_grad_programs(
         (_, aux), grads = jax.value_and_grad(f, has_aux=True)(train)
         return grads, aux
 
-    def grad_ireal(params, buffers, d_params, batch, rng):
+    def grad_ireal(params, buffers, d_params, batch, rng, prefix_out=None):
         rngs = _rngs(rng)
         train, frozen_rest = _split(params)
 
         def f(tp):
             p = _frozen({**frozen_rest, **tp})
-            inv_forward = lambda x, c, v, rf: _inv_forward(p, buffers, rngs, x, c, v, rf)
+            inv_forward = lambda x, c, v, rf: _inv_forward(
+                p, buffers, rngs, x, c, v, rf, prefix_out)
             d_apply = None
             if d_params is not None and D_module is not None and weights.adv > 0:
                 d_apply = lambda img, c: D_module.apply(
@@ -805,6 +838,13 @@ def make_oneshot_grad_programs(
     update_j = jit(update, donate_argnums=(0, 1) if donate else ())
     student_fwd_j = jit(student_fwd)
     d_step_j = jit(d_step, static_argnames=("do_r1",)) if d_tx is not None else None
+    prefix_j = jit(prefix) if prefix_split else None
+
+    def _enc_params(params):  # what the prefix program needs
+        return {k: params[k] for k in ("generator", "encoder") if k in params}
+
+    def _gu_params(params):  # what the grad programs need under prefix_split
+        return {k: v for k, v in params.items() if k != "encoder"}
 
     def step(state: TrainState, d_state: Optional[TrainState], batch: Dict, rng,
              phase: str = "Ireal", do_r1: bool = False):
@@ -816,12 +856,36 @@ def make_oneshot_grad_programs(
                 ws_t, gen_out = igen_targets_j(
                     state.params, state.buffers, batch["z"], batch["c"], batch["v"], rng
                 )
-                grads, aux = grad_igen_j(
-                    state.params, state.buffers, d_params, ws_t, gen_out, batch, rng
-                )
+                if prefix_split:
+                    px = prefix_j(
+                        _enc_params(state.params), state.buffers,
+                        {"image": gen_out["image"], "uv": batch["gen_uv"]},
+                        batch["c"], batch["v"], rng,
+                    )
+                    grads, aux = grad_igen_j(
+                        _gu_params(state.params), state.buffers, d_params,
+                        ws_t, gen_out, batch, rng, px,
+                    )
+                    del px
+                else:
+                    grads, aux = grad_igen_j(
+                        state.params, state.buffers, d_params, ws_t, gen_out, batch, rng
+                    )
                 del ws_t, gen_out
             else:
-                grads, aux = grad_ireal_j(state.params, state.buffers, d_params, batch, rng)
+                if prefix_split:
+                    px = prefix_j(
+                        _enc_params(state.params), state.buffers,
+                        {"image": batch["image"], "uv": batch["uv"]},
+                        batch["c"], batch["v"], rng,
+                    )
+                    grads, aux = grad_ireal_j(
+                        _gu_params(state.params), state.buffers, d_params, batch, rng, px
+                    )
+                    del px
+                else:
+                    grads, aux = grad_ireal_j(
+                        state.params, state.buffers, d_params, batch, rng)
             new_params, new_opt = update_j(state.params, state.opt_state, grads)
             del grads
             new_state = TrainState(new_params, new_opt, state.buffers)
@@ -865,12 +929,15 @@ def make_oneshot_grad_programs(
     # per-program handles (see make_e4e_grad_programs.step.programs)
     step.programs = {
         "igen_targets": igen_targets_j,
+        "prefix": prefix_j,
         "grad_igen": grad_igen_j,
         "grad_ireal": grad_ireal_j,
         "update": update_j,
         "student_fwd": student_fwd_j,
         "d_step": d_step_j,
     }
+    step.enc_params = _enc_params
+    step.gu_params = _gu_params
     return step
 
 

@@ -230,7 +230,8 @@ def run_e4e(record, fast: bool = False, remat: bool = False):
     return record
 
 
-def run_oneshot(record, fast: bool = False, remat: bool = False):
+def run_oneshot(record, fast: bool = False, remat: bool = False,
+                prefix: bool = False):
     from invertavatar_tpu.models.encoders.uvnet import texture_out_channels_for
     from invertavatar_tpu.train.loop_inversion import (
         make_oneshot_grad_programs,
@@ -283,12 +284,14 @@ def run_oneshot(record, fast: bool = False, remat: bool = False):
     fast_kw = dict(fast_igen_target="exact", fast_grad="structured") if fast else {}
     step = make_oneshot_grad_programs(
         net, None, lambda a, b: jnp.mean(jnp.abs(a - b)), None,
-        tx, None, weights, donate=True, remat=remat, **fast_kw,
+        tx, None, weights, donate=True, remat=remat, prefix_split=prefix,
+        **fast_kw,
     )
     record["step_impl"] = (
         "make_oneshot_grad_programs (per-phase split, donated update"
         + (", structured fast paths" if fast else "")
         + (", staged remat" if remat else "")
+        + (", stop-grad prefix program" if prefix else "")
         + ")"
     )
     state = TrainState(variables["params"], tx.init(variables["params"]),
@@ -321,14 +324,32 @@ def run_oneshot(record, fast: bool = False, remat: bool = False):
     except Exception as e:  # noqa: BLE001
         record["igen_targets_error"] = f"{type(e).__name__}: {str(e)[:300]}"
         return record
+    px = c_px = None
+    if prefix:
+        try:
+            c_px, px = run_prog(
+                "prefix", P["prefix"], step.enc_params(state.params),
+                state.buffers,
+                {"image": gen_out["image"], "uv": batch["gen_uv"]},
+                batch["c"], batch["v"], rng1,
+            )
+        except Exception as e:  # noqa: BLE001
+            record["prefix_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+            return record
     try:
-        c_gi, (g, aux1) = run_prog(
-            "grad_igen", P["grad_igen"], state.params, state.buffers, None,
-            ws_t, gen_out, batch, rng1,
-        )
+        if prefix:
+            c_gi, (g, aux1) = run_prog(
+                "grad_igen", P["grad_igen"], step.gu_params(state.params),
+                state.buffers, None, ws_t, gen_out, batch, rng1, px,
+            )
+        else:
+            c_gi, (g, aux1) = run_prog(
+                "grad_igen", P["grad_igen"], state.params, state.buffers, None,
+                ws_t, gen_out, batch, rng1,
+            )
         record["losses"].update({k: float(v) for k, v in aux1.items()})
         record["finite_losses"] = record["finite_losses"] and _finite(aux1)
-        del ws_t, gen_out
+        del ws_t, gen_out, px
     except Exception as e:  # noqa: BLE001
         record["grad_igen_error"] = f"{type(e).__name__}: {str(e)[:300]}"
         return record
@@ -342,9 +363,19 @@ def run_oneshot(record, fast: bool = False, remat: bool = False):
         return record
     # Ireal cold
     try:
-        c_gr, (g2, aux2) = run_prog(
-            "grad_ireal", P["grad_ireal"], params2, buffers_ref, None, batch, rng1,
-        )
+        if prefix:
+            x_real = {"image": batch["image"], "uv": batch["uv"]}
+            px2 = c_px(step.enc_params(params2), buffers_ref, x_real,
+                       batch["c"], batch["v"], rng1)
+            c_gr, (g2, aux2) = run_prog(
+                "grad_ireal", P["grad_ireal"], step.gu_params(params2),
+                buffers_ref, None, batch, rng1, px2,
+            )
+            del px2
+        else:
+            c_gr, (g2, aux2) = run_prog(
+                "grad_ireal", P["grad_ireal"], params2, buffers_ref, None, batch, rng1,
+            )
         record["losses"].update({k: float(v) for k, v in aux2.items()})
         record["finite_losses"] = record["finite_losses"] and _finite(aux2)
         params3, opt3 = c_upd(params2, opt2, g2)
@@ -365,7 +396,14 @@ def run_oneshot(record, fast: bool = False, remat: bool = False):
         t0 = time.time()
         ws_t, gen_out = c_tgt(params3, buffers_ref, batch["z"], batch["c"],
                               batch["v"], rng2)
-        gw, auxw = c_gi(params3, buffers_ref, None, ws_t, gen_out, batch, rng2)
+        if prefix:
+            pxw = c_px(step.enc_params(params3), buffers_ref,
+                       {"image": gen_out["image"], "uv": batch["gen_uv"]},
+                       batch["c"], batch["v"], rng2)
+            gw, auxw = c_gi(step.gu_params(params3), buffers_ref, None,
+                            ws_t, gen_out, batch, rng2, pxw)
+        else:
+            gw, auxw = c_gi(params3, buffers_ref, None, ws_t, gen_out, batch, rng2)
         params4, _ = c_upd(params3, opt3, gw)
         jax.block_until_ready(jax.tree_util.tree_leaves(params4)[:1])
         record["igen_step_warm_s"] = round(time.time() - t0, 2)
@@ -491,6 +529,23 @@ def main():
         out["configs"]["oneshot_B1_remat"] = rec
         try:
             run_oneshot(rec, remat=True)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        print(json.dumps(rec), flush=True)
+
+    if mode == "oneshot-prefix":
+        # literal formulation with the stop-grad prefix in its own program:
+        # the HBM plan's third stage — subtree grads and remat both left the
+        # grad_igen plan at ~17 GB because its 12 GB temp is the PREFIX
+        # render's forward working set (oneshot_B1_subtree / oneshot_B1_remat)
+        print("== one-shot stage (literal, prefix-split + unet-subtree grads) ==",
+              flush=True)
+        rec = {}
+        out["configs"]["oneshot_B1_prefix"] = rec
+        try:
+            run_oneshot(rec, prefix=True)
         except Exception as e:  # noqa: BLE001
             rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
         finally:

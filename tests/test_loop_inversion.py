@@ -223,6 +223,77 @@ def test_e4e_grad_programs_remat_parity():
 
 
 @pytest.mark.slow
+def test_oneshot_grad_programs_remat_parity():
+    """Staged remat on the one-shot grad programs (remat=True → model-level
+    remat_stages on the grad-carrying student render) reproduces the literal
+    split step's losses and updated params — the HBM plan's second stage for
+    the 16 GB v5e (docs/train_tpu_run.json oneshot_B1 memory plans)."""
+    from invertavatar_tpu.train.loop_inversion import make_oneshot_grad_programs
+
+    net, D, state, d_state, batch, tx, d_tx, weights = _tiny_oneshot_setup()
+    l1 = lambda a, b: jnp.mean(jnp.abs(a - b))
+    base = make_oneshot_grad_programs(net, D, l1, None, tx, d_tx, weights)
+    rem = make_oneshot_grad_programs(net, D, l1, None, tx, d_tx, weights, remat=True)
+
+    rng = jax.random.PRNGKey(3)
+    b_state, _, b_aux = base(state, d_state, batch, rng, phase="Igen")
+    r_state, _, r_aux = rem(state, d_state, batch, rng, phase="Igen")
+    assert set(b_aux) == set(r_aux)
+    for k in b_aux:
+        np.testing.assert_allclose(float(b_aux[k]), float(r_aux[k]), rtol=2e-4,
+                                   atol=1e-6, err_msg=k)
+    fb = jax.tree_util.tree_flatten_with_path(b_state.params)[0]
+    fr = jax.tree_util.tree_flatten_with_path(r_state.params)[0]
+    for (pb, ab), (pr, ar) in zip(fb, fr):
+        assert pb == pr
+        np.testing.assert_allclose(np.asarray(ab), np.asarray(ar), rtol=1e-4,
+                                   atol=1e-5, err_msg=jax.tree_util.keystr(pb))
+
+
+@pytest.mark.slow
+def test_oneshot_grad_programs_prefix_split_parity():
+    """prefix_split=True (the stop-grad e4e prefix — encode + texture pyramid
+    + e4e render — as its OWN program) reproduces the non-split per-phase
+    step: same losses and params after one Igen and one Ireal step. This is
+    the HBM plan's third stage for the 16 GB v5e: subtree grads and staged
+    remat both left the literal grad_igen plan at ~17 GB because its 12 GB
+    temp is the prefix render's forward working set
+    (docs/train_tpu_run.json oneshot_B1_subtree / oneshot_B1_remat).
+
+    Both sides run the rng-free deterministic sampling overrides
+    (fast_igen_target='exact', fast_grad='structured'): the split cuts the
+    forward across two `apply`s, which re-bases flax's per-call ray-rng
+    folds, so under LITERAL stochastic sampling the two formulations draw
+    different (identically distributed) strata — deterministic sampling
+    removes exactly that nuisance term and makes the math comparison exact."""
+    from invertavatar_tpu.train.loop_inversion import make_oneshot_grad_programs
+
+    net, D, state, d_state, batch, tx, d_tx, weights = _tiny_oneshot_setup()
+    l1 = lambda a, b: jnp.mean(jnp.abs(a - b))
+    det = dict(fast_igen_target="exact", fast_grad="structured")
+    base = make_oneshot_grad_programs(net, D, l1, None, tx, d_tx, weights, **det)
+    pref = make_oneshot_grad_programs(net, D, l1, None, tx, d_tx, weights,
+                                      prefix_split=True, **det)
+
+    for phase, key in (("Igen", 1), ("Ireal", 2)):
+        rng = jax.random.PRNGKey(key)
+        b_state, _, b_aux = base(state, d_state, batch, rng, phase=phase)
+        p_state, _, p_aux = pref(state, d_state, batch, rng, phase=phase)
+        assert set(b_aux) == set(p_aux), (phase, set(b_aux) ^ set(p_aux))
+        for k in b_aux:
+            np.testing.assert_allclose(float(b_aux[k]), float(p_aux[k]),
+                                       rtol=2e-4, atol=1e-6, err_msg=f"{phase}:{k}")
+        fb = jax.tree_util.tree_flatten_with_path(b_state.params)[0]
+        fp = jax.tree_util.tree_flatten_with_path(p_state.params)[0]
+        for (pb, ab), (pp, ap) in zip(fb, fp):
+            assert pb == pp
+            np.testing.assert_allclose(
+                np.asarray(ab), np.asarray(ap), rtol=1e-4, atol=1e-5,
+                err_msg=f"{phase}:{jax.tree_util.keystr(pb)}",
+            )
+
+
+@pytest.mark.slow
 def test_fewshot_step_tiny():
     """Ireal + Igen + D steps over the tiny generator with matched unet widths.
 
