@@ -20,8 +20,13 @@ os.environ["XLA_FLAGS"] = flags
 
 # Persistent compilation cache: repeat runs of the compile-heavy parity tests
 # skip XLA compilation entirely (VERDICT r1 weak #4 — suite wall-clock).
+# CPU runs get their OWN cache dir: the axon relay's remote compile helper
+# writes CPU AOT entries compiled on a different x86 host into .jax_cache
+# (machine-feature mismatch → cpu_aot_loader warning floods + SIGILL risk on
+# this VM), so the TPU-session cache must never be loaded by a CPU session.
 _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_repo, ".jax_cache"))
+_cache = ".jax_cache" if _USE_TPU else ".jax_cache_cpu"
+os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.join(_repo, _cache)
 
 import jax  # noqa: E402
 
