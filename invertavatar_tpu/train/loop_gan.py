@@ -36,6 +36,10 @@ from .gan import GANLossConfig, make_gan_train_step, make_schedules, neural_rend
 from .state import TrainState, adam_with_lazy_reg, ema_beta, ema_update
 
 
+class _SkipImages(Exception):
+    pass
+
+
 @dataclasses.dataclass
 class GANTrainConfig:
     run_dir: str = "runs/gan"
@@ -48,6 +52,7 @@ class GANTrainConfig:
     ema_rampup: Optional[float] = 0.05
     kimg_per_tick: int = 4
     snapshot_ticks: int = 50
+    snapshot_images: bool = True  # render the EMA fakes grid at snapshots
     seed: int = 0
     # micro-batch gradient accumulation (reference `batch_gpu` inner loop,
     # training_loop.py:371-374): each optimizer update aggregates this many
@@ -70,6 +75,10 @@ def train_gan(
     metric_names=(),  # e.g. ("fid50k_full",) — evaluated at snapshot ticks
     metric_dataset=None,  # dataset with items {'image', 'c', 'v'} for real stats + (c, v) sampling
     metric_detector_fn=None,  # detector(uint8 NHWC) -> [N, D] features
+    init_vars=None,  # optional (g_vars, d_vars) — skips the eager flax init
+    # (through the axon relay an eager init dispatches thousands of tiny ops;
+    # validation runs pass flagship.init_by_shape-built trees instead)
+    on_step=None,  # callback(step_idx, cur_nimg, metrics) after every step
 ):
     mesh = mesh or make_mesh()
     os.makedirs(cfg.run_dir, exist_ok=True)
@@ -85,21 +94,24 @@ def train_gan(
         "noise": jax.random.fold_in(rng, 2),
         "ray": jax.random.fold_in(rng, 3),
     }
-    g_vars = G.init(
-        init_rngs,
-        jnp.asarray(batch0["z"][:1]),
-        jnp.asarray(batch0["c"][:1]),
-        {"uvcoords_image": jnp.asarray(batch0["v"]["uvcoords_image"][:1])},
-    )
     nrr0 = cfg.loss.neural_rendering_resolution_initial
-    d_vars = D.init(
-        init_rngs,
-        {
-            "image": jnp.asarray(batch0["image"][:1]),
-            "image_raw": jnp.zeros((1, nrr0, nrr0, 3), jnp.float32),
-        },
-        jnp.asarray(batch0["c"][:1]),
-    )
+    if init_vars is not None:
+        g_vars, d_vars = init_vars
+    else:
+        g_vars = G.init(
+            init_rngs,
+            jnp.asarray(batch0["z"][:1]),
+            jnp.asarray(batch0["c"][:1]),
+            {"uvcoords_image": jnp.asarray(batch0["v"]["uvcoords_image"][:1])},
+        )
+        d_vars = D.init(
+            init_rngs,
+            {
+                "image": jnp.asarray(batch0["image"][:1]),
+                "image_raw": jnp.zeros((1, nrr0, nrr0, 3), jnp.float32),
+            },
+            jnp.asarray(batch0["c"][:1]),
+        )
 
     g_tx = adam_with_lazy_reg(cfg.g_lr, 0.0, cfg.beta2, 1e-8, cfg.loss.g_reg_interval)
     d_tx = adam_with_lazy_reg(cfg.d_lr, 0.0, cfg.beta2, 1e-8, cfg.loss.d_reg_interval)
@@ -112,13 +124,30 @@ def train_gan(
     d_state = TrainState(d_vars["params"], d_tx.init(d_vars["params"]), d_vars.get("buffers", {}))
     ema_params = jax.tree_util.tree_map(lambda x: x, g_state.params)
     cur_nimg = 0
+    start_step = 0
+    resumed_augment_p = None
 
     if resume_dir:
-        restored = restore_orbax(resume_dir)
+        # restore INTO the freshly-built trees: orbax without a template
+        # returns plain nested dicts, which breaks the optax NamedTuple states
+        template = {
+            "g_state": g_state._asdict(),
+            "d_state": d_state._asdict(),
+            "ema_params": ema_params,
+            "cur_nimg": np.asarray(0),
+            "step_idx": np.asarray(0),
+            "augment_p": np.asarray(0.0),
+        }
+        restored = restore_orbax(resume_dir, template)
         g_state = TrainState(**restored["g_state"])
         d_state = TrainState(**restored["d_state"])
         ema_params = restored["ema_params"]
         cur_nimg = int(restored["cur_nimg"])
+        # step_idx drives the rng fold and the lazy-reg phase cadence
+        # (reference training_loop.py phases key on batch_idx); without it a
+        # resumed run replays step-0 noise and reg phases
+        start_step = int(restored["step_idx"])
+        resumed_augment_p = float(restored["augment_p"])
 
     rep = NamedSharding(mesh, P())
     shard = lambda x: jax.device_put(
@@ -143,14 +172,14 @@ def train_gan(
         return step_cache[key]
 
     # ADA state (reference training_loop.py:244-248, :452-456)
-    augment_p = float(cfg.augment_p)
+    augment_p = float(cfg.augment_p) if resumed_augment_p is None else resumed_augment_p
     sign_real_acc = []
 
     collector = Collector()
     logger = StatsLogger(cfg.run_dir)
     ema_jit = jax.jit(ema_update)
 
-    step_idx = 0
+    step_idx = start_step
     tick_start = time.time()
     next_tick_nimg = cur_nimg + cfg.kimg_per_tick * 1000
     while cur_nimg < cfg.total_kimg * 1000:
@@ -172,6 +201,8 @@ def train_gan(
         step_idx += 1
         for k, val in metrics.items():
             collector.report(k, np.asarray(val))
+        if on_step is not None:
+            on_step(step_idx, cur_nimg, metrics)
 
         # ADA heuristic (training_loop.py:452-456)
         if augment_pipe is not None and cfg.loss.ada_target is not None:
@@ -203,10 +234,14 @@ def train_gan(
                     "d_state": d_state._asdict(),
                     "ema_params": ema_params,
                     "cur_nimg": np.asarray(cur_nimg),
+                    "step_idx": np.asarray(step_idx),
+                    "augment_p": np.asarray(augment_p),
                 }
                 save_orbax(os.path.join(cfg.run_dir, f"snapshot-{cur_nimg:08d}"), snap)
                 # fakes grid via EMA params (reference training_loop.py:460-472)
                 try:
+                    if not cfg.snapshot_images:
+                        raise _SkipImages
                     from ..utils.vis import save_image_grid
 
                     nrr = neural_rendering_resolution(cfg.loss, cur_nimg)
@@ -228,6 +263,9 @@ def train_gan(
                     save_image_grid(
                         np.asarray(out), os.path.join(cfg.run_dir, f"fakes{cur_nimg:08d}.png")
                     )
+                except _SkipImages:
+                    pass  # cfg.snapshot_images=False: grid (and its eval-
+                    # program compile) disabled — resume tests, CI
                 except Exception as e:  # snapshot rendering must never kill training
                     print(f"[warn] image snapshot failed: {e}")
                 # in-training metric eval at snapshot ticks (reference
