@@ -640,6 +640,7 @@ def make_oneshot_grad_programs(
     remat: bool = False,
     grad_subtree: Optional[str] = "unet_encoder",
     prefix_split: bool = False,
+    subtree_tx: Optional[optax.GradientTransformation] = None,
 ):
     """HBM/compile split of `make_oneshot_train_step` (same math, smaller
     programs, same step contract).
@@ -744,24 +745,49 @@ def make_oneshot_grad_programs(
             for k, v in params.items()
         }
 
+    def _sub_get(params, path):
+        node = params
+        for p in path.split("/"):
+            node = node[p]
+        return node
+
+    def _sub_set(params, path, value):
+        parts = path.split("/")
+
+        def rec(node, i):
+            if i == len(parts) - 1:
+                return {**node, parts[i]: value}
+            return {**node, parts[i]: rec(node[parts[i]], i + 1)}
+
+        return rec(params, 0)
+
     def _split(params):
         # grads only over the trainable subtree — the frozen generator/e4e
         # grads are structural zeros but full-tree value_and_grad would
         # materialize them as a live full-param-size buffer between programs
-        # (see make_e4e_grad_programs._split)
+        # (see make_e4e_grad_programs._split). `grad_subtree` may be a nested
+        # '/'-path ("unet_encoder/texture_unet"): the reference's interval
+        # schedule trains ONE unet per batch (training_loop_unet_interval.py
+        # :358-368), so per-phase subtree grads are the literal semantics —
+        # and they remove the frozen sibling's backward (the SFT backbone
+        # chain, for the tex phase) from the grad program's HBM plan entirely
+        # (docs/train_tpu_run.json oneshot_B1_prefix: the whole-unet grad
+        # program plans 16.4 GB > 16 GB HBM).
         if grad_subtree is None:
-            return params, {}
-        return (
-            {grad_subtree: params[grad_subtree]},
-            {k: v for k, v in params.items() if k != grad_subtree},
-        )
+            return params
+        return _sub_get(params, grad_subtree)
+
+    def _merge(params, tp):
+        if grad_subtree is None:
+            return tp
+        return _sub_set(params, grad_subtree, tp)
 
     def grad_igen(params, buffers, d_params, ws_t, gen_out, batch, rng, prefix_out=None):
         rngs = _rngs(rng)
-        train, frozen_rest = _split(params)
+        train = _split(params)
 
         def f(tp):
-            p = _frozen({**frozen_rest, **tp})
+            p = _frozen(_merge(params, tp))
             inv_forward = lambda x, c, v, rf: _inv_forward(
                 p, buffers, rngs, x, c, v, rf, prefix_out)
             d_apply = None
@@ -783,10 +809,10 @@ def make_oneshot_grad_programs(
 
     def grad_ireal(params, buffers, d_params, batch, rng, prefix_out=None):
         rngs = _rngs(rng)
-        train, frozen_rest = _split(params)
+        train = _split(params)
 
         def f(tp):
-            p = _frozen({**frozen_rest, **tp})
+            p = _frozen(_merge(params, tp))
             inv_forward = lambda x, c, v, rf: _inv_forward(
                 p, buffers, rngs, x, c, v, rf, prefix_out)
             d_apply = None
@@ -804,15 +830,27 @@ def make_oneshot_grad_programs(
         (_, aux), grads = jax.value_and_grad(f, has_aux=True)(train)
         return grads, aux
 
-    def update(params, opt_state, grads):
-        if grad_subtree is not None:
-            grads = {
-                **{k: jax.tree_util.tree_map(jnp.zeros_like, v)
-                   for k, v in params.items() if k != grad_subtree},
-                **grads,
-            }
-        updates, new_opt = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_opt
+    if subtree_tx is not None and grad_subtree is not None:
+        # SUBTREE-LOCAL update: operates on (trainable subtree, subtree opt
+        # state, subtree grads) only — no full-tree zeros reconstitution (at
+        # the flagship one-shot config that zeros tree is ~3 GB of temp) and
+        # no full-param args, so the frozen siblings (e.g. the e4e encoder)
+        # need not even be device-resident during the update. Equivalent to
+        # the masked full-tree update when the optimizer mask selects exactly
+        # `grad_subtree` (tests/test_loop_inversion.py subtree-update parity).
+        # Splice the result back with `step.merge_params`.
+        def update(train_params, opt_state, grads):
+            updates, new_opt = subtree_tx.update(grads, opt_state, train_params)
+            return optax.apply_updates(train_params, updates), new_opt
+    else:
+        def update(params, opt_state, grads):
+            if grad_subtree is not None:
+                # reconstitute the full-tree grad structure (structural zeros
+                # for every frozen leaf) only inside this small program
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+                grads = _sub_set(zeros, grad_subtree, grads)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt
 
     def student_fwd(params, buffers, x, c, v, rng):
         return _inv_forward(params, buffers, _rngs(rng), x, c, v, False)
@@ -886,7 +924,11 @@ def make_oneshot_grad_programs(
                 else:
                     grads, aux = grad_ireal_j(
                         state.params, state.buffers, d_params, batch, rng)
-            new_params, new_opt = update_j(state.params, state.opt_state, grads)
+            if subtree_tx is not None and grad_subtree is not None:
+                new_sub, new_opt = update_j(_split(state.params), state.opt_state, grads)
+                new_params = _merge(state.params, new_sub)
+            else:
+                new_params, new_opt = update_j(state.params, state.opt_state, grads)
             del grads
             new_state = TrainState(new_params, new_opt, state.buffers)
         else:
@@ -938,6 +980,8 @@ def make_oneshot_grad_programs(
     }
     step.enc_params = _enc_params
     step.gu_params = _gu_params
+    step.train_sub = _split  # trainable subtree extractor (subtree_tx mode)
+    step.merge_params = _merge  # splice an updated subtree back (host-side)
     return step
 
 
@@ -1090,6 +1134,12 @@ def train_fewshot(
     frm_per_chunk: int = 6,
     resume_dir: Optional[str] = None,
     mesh=None,  # jax.sharding.Mesh with a 'data' axis → DP over its devices
+    fast_no_grad: str = "off",  # structured fast paths for the frozen-G
+    fast_grad: str = "off",  # renders (see FewshotPrograms / train.fast_render)
+    snapshot_every: Optional[int] = None,  # mid-run snapshot every N steps
+    on_step=None,  # callback(step_idx, cur_nimg, aux) after every step
+    donate: bool = False,  # donate params/opt into the update program (one
+    # live TrainState at the flagship config — see make_fewshot_train_step)
 ):
     """Few-shot-stage driver (reference training_loop_video.py:129-480).
 
@@ -1117,7 +1167,8 @@ def train_fewshot(
     opt_states = {"tex": tx_tex.init(params), "tri": tx_tri.init(params)}
 
     # one shared jitted program set for the I steps and the D step
-    progs = FewshotPrograms(net, lpips_fn, cfg.weights, d_module=d_module)
+    progs = FewshotPrograms(net, lpips_fn, cfg.weights, d_module=d_module,
+                            fast_no_grad=fast_no_grad, fast_grad=fast_grad)
 
     d_state = None
     d_tx = None
@@ -1156,10 +1207,12 @@ def train_fewshot(
 
     steps = {
         "tex": make_fewshot_train_step(
-            net, lpips_fn, tx_tex, cfg.weights, frm_per_chunk, programs=progs
+            net, lpips_fn, tx_tex, cfg.weights, frm_per_chunk, programs=progs,
+            donate=donate,
         ),
         "tri": make_fewshot_train_step(
-            net, lpips_fn, tx_tri, cfg.weights, frm_per_chunk, programs=progs
+            net, lpips_fn, tx_tri, cfg.weights, frm_per_chunk, programs=progs,
+            donate=donate,
         ),
     }
 
@@ -1249,6 +1302,10 @@ def train_fewshot(
         step_idx += 1
         for k, v in aux.items():
             collector.report(k, np.asarray(v))
+        if on_step is not None:
+            on_step(step_idx, cur_nimg, aux)
+        if snapshot_every and step_idx % snapshot_every == 0:
+            snapshot(f"snapshot-{cur_nimg:08d}")
         if step_idx % 50 == 0 or (max_steps and step_idx >= max_steps):
             collector.update()
             print(

@@ -182,14 +182,39 @@ def run_stage(net, holder, batch, multiT: bool, frm_per_chunk: int, record: dict
             print(f"[{name}] FAILED: {record[f'{name}_error']}", flush=True)
             return False
 
-    phase("ireal_step1", False, 1, fake_idx)
-    phase("igen_step1", True, 2, None)
-    phase("ireal_step2_warm", False, 3, fake_idx)
+    def state_alive():
+        # the step donates the old params into the update program; a phase
+        # that fails AFTER dispatching the update leaves `state` pointing at
+        # deleted buffers — running another phase would crash with "Array has
+        # been deleted" instead of recording the real failure (VERDICT r4
+        # weak-5: the multiT_T12 record ends in decoder_params_moved_error)
+        try:
+            return not any(
+                getattr(x, "is_deleted", lambda: False)()
+                for x in jax.tree_util.tree_leaves(state.params)[:4]
+            )
+        except Exception:  # noqa: BLE001
+            return False
+
+    for nm, ig, key, fi in (("ireal_step1", False, 1, fake_idx),
+                            ("igen_step1", True, 2, None),
+                            ("ireal_step2_warm", False, 3, fake_idx)):
+        if not phase(nm, ig, key, fi) and not state_alive():
+            record["aborted_after"] = nm
+            record["aborted_reason"] = (
+                "train state buffers were donated by the failed step; "
+                "remaining phases skipped"
+            )
+            break
 
     finite = all(np.isfinite(float(v)) for v in auxes.values()) if auxes else False
     record["finite_losses"] = bool(finite)
     # decoder params moved, trunks frozen (fail-safe: a device OOM on the
     # readback must not lose the phase records already gathered)
+    if not state_alive():
+        record["decoder_params_moved"] = None
+        record["decoder_params_moved_error"] = "state donated by a failed step"
+        return record
     try:
         moved = any(
             np.abs(np.asarray(a) - b).max() > 0

@@ -44,6 +44,17 @@ def _finite(aux):
     return all(np.isfinite(float(v)) for v in aux.values())
 
 
+def _note_finite(record, aux):
+    """Fold one aux dict into record['finite_losses'].
+
+    The flag starts as None ("nothing validated yet") and only becomes a bool
+    once at least one aux dict has actually been checked — an all-failed
+    config must not read `finite_losses: true` (ADVICE r4, VERDICT r4 weak-2)."""
+    ok = _finite(aux)
+    prev = record.get("finite_losses")
+    record["finite_losses"] = ok if prev is None else (prev and ok)
+
+
 def _hbm(record, name):
     try:
         ms = jax.devices()[0].memory_stats() or {}
@@ -81,7 +92,13 @@ def _aot(record, name, jitted, *args, **kwargs):
     return compiled
 
 
-def run_e4e(record, fast: bool = False, remat: bool = False):
+def run_e4e(record, fast: bool = False, remat: bool = False, capture=None):
+    """`capture` (a dict) switches to parity-capture mode: after exactly ONE
+    update from the deterministic initial state, the encoder subtree is read
+    back to host numpy into capture[path] and the warm/WD phases are skipped —
+    the e4e-parity mode runs this twice (literal, then fast) and diffs the
+    results on host (VERDICT r4 next-8: the 29× fast path's equivalence had
+    only CPU-tiny-geometry evidence)."""
     from invertavatar_tpu.models.encoders.e4e import LatentCodesDiscriminator
     from invertavatar_tpu.train.loop_inversion import (
         e4e_trainable,
@@ -151,7 +168,7 @@ def run_e4e(record, fast: bool = False, remat: bool = False):
 
     P = step.programs
     record["losses"] = {}
-    record["finite_losses"] = True
+    record["finite_losses"] = None  # None until at least one aux dict is checked
     rng1, rng2 = jax.random.PRNGKey(2), jax.random.PRNGKey(3)
 
     def run_prog(name, jitted, *args, **static_kw):
@@ -172,7 +189,7 @@ def run_e4e(record, fast: bool = False, remat: bool = False):
             wd_state.params, batch, rng1,
         )
         record["losses"].update({k: float(v) for k, v in aux1.items()})
-        record["finite_losses"] = record["finite_losses"] and _finite(aux1)
+        _note_finite(record, aux1)
     except Exception as e:  # noqa: BLE001
         record["grad_ireal_error"] = f"{type(e).__name__}: {str(e)[:300]}"
         return record
@@ -182,7 +199,7 @@ def run_e4e(record, fast: bool = False, remat: bool = False):
             wd_state.params, batch, rng1,
         )
         record["losses"].update({k: float(v) for k, v in aux2.items()})
-        record["finite_losses"] = record["finite_losses"] and _finite(aux2)
+        _note_finite(record, aux2)
     except Exception as e:  # noqa: BLE001
         record["grad_igen_error"] = f"{type(e).__name__}: {str(e)[:300]}"
         return record
@@ -200,7 +217,7 @@ def run_e4e(record, fast: bool = False, remat: bool = False):
             do_wd_reg=True,
         )
         record["losses"].update({k: float(v) for k, v in wd_aux.items()})
-        record["finite_losses"] = record["finite_losses"] and _finite(wd_aux)
+        _note_finite(record, wd_aux)
     except Exception as e:  # noqa: BLE001
         record["wd_step_error"] = f"{type(e).__name__}: {str(e)[:300]}"
         wd_state2 = wd_state
@@ -213,6 +230,15 @@ def run_e4e(record, fast: bool = False, remat: bool = False):
         record["encoder_params_moved"] = None
         record["encoder_params_moved_error"] = f"{type(e).__name__}: {str(e)[:200]}"
 
+    if capture is not None:
+        # one-step parity capture: the full updated encoder subtree to host
+        t0 = time.time()
+        flat, _ = jax.tree_util.tree_flatten_with_path(params2["encoder"])
+        for path, leaf in flat:
+            capture[jax.tree_util.keystr(path)] = np.asarray(leaf)
+        record["capture_readback_s"] = round(time.time() - t0, 1)
+        return record
+
     # warm full step from the compiled executables
     try:
         t0 = time.time()
@@ -222,22 +248,33 @@ def run_e4e(record, fast: bool = False, remat: bool = False):
         jax.block_until_ready(jax.tree_util.tree_leaves(params3)[:1])
         record["step_warm_s"] = round(time.time() - t0, 2)
         _hbm(record, "step_warm")
-        record["finite_losses"] = (
-            record["finite_losses"] and _finite(aux1b) and _finite(aux2b)
-        )
+        _note_finite(record, aux1b)
+        _note_finite(record, aux2b)
     except Exception as e:  # noqa: BLE001
         record["warm_error"] = f"{type(e).__name__}: {str(e)[:300]}"
     return record
 
 
 def run_oneshot(record, fast: bool = False, remat: bool = False,
-                prefix: bool = False):
+                prefix: bool = False, subtree: str = "unet_encoder",
+                trainable=None, opt_on_host: bool = False,
+                only_ireal: bool = False):
+    """`opt_on_host` keeps the masked-adam moments in HOST memory while the
+    grad programs run (optimizer-state offload — the classic large-model HBM
+    lever): the tex-subtree grad_igen PLAN fits in 14.75 GB
+    (oneshot_B1_tex) but params (2.98 GB) + resident moments (~1.9 GB) on
+    top still exhaust the 16 GB chip. The update program receives the host
+    moments (jax transfers numpy args) and the new moments are read straight
+    back; only params stay resident on device."""
     from invertavatar_tpu.models.encoders.uvnet import texture_out_channels_for
     from invertavatar_tpu.train.loop_inversion import (
         make_oneshot_grad_programs,
         masked_adam,
         oneshot_tex_trainable,
     )
+
+    if trainable is None:
+        trainable = oneshot_tex_trainable
 
     net = InversionNet(
         generator_cfg=GEN_CFG, unet_type="segformer",
@@ -277,14 +314,20 @@ def run_oneshot(record, fast: bool = False, remat: bool = False,
     # peak-HBM question this script answers to the training forward+backward
     weights = InversionLossWeights(l1=1.0, lpips=0.0, id=0.0, raw_l1=1.0,
                                    tri=0.001, texture=0.001, adv=0.0)
-    tx = masked_adam(1e-4, oneshot_tex_trainable)
+    tx = masked_adam(1e-4, trainable)
     # per-phase split (CPU-parity-tested vs the monolith): the monolithic
     # Igen program killed the remote compile helper twice (HTTP 500 after
     # ~16 min — this file's r4 records); donate=True keeps one param set live
     fast_kw = dict(fast_igen_target="exact", fast_grad="structured") if fast else {}
+    # host-opt mode pairs the moment offload with the SUBTREE-LOCAL update
+    # (loop_inversion.make_oneshot_grad_programs subtree_tx): no full-tree
+    # zeros reconstitution in the update program, and the frozen e4e encoder
+    # can live on host during the grad programs
+    sub_tx = optax.adam(1e-4) if opt_on_host else None
     step = make_oneshot_grad_programs(
         net, None, lambda a, b: jnp.mean(jnp.abs(a - b)), None,
         tx, None, weights, donate=True, remat=remat, prefix_split=prefix,
+        grad_subtree=subtree, subtree_tx=sub_tx,
         **fast_kw,
     )
     record["step_impl"] = (
@@ -292,18 +335,44 @@ def run_oneshot(record, fast: bool = False, remat: bool = False,
         + (", structured fast paths" if fast else "")
         + (", staged remat" if remat else "")
         + (", stop-grad prefix program" if prefix else "")
+        + (f", grads over {subtree}" if subtree != "unet_encoder" else "")
         + ")"
     )
-    state = TrainState(variables["params"], tx.init(variables["params"]),
+    if opt_on_host:
+        # moments as host numpy (shape-traced init — never materialized on
+        # device); jax transfers them per update call and the results are
+        # read straight back below. The opt state is SUBTREE-LOCAL (sub_tx).
+        opt_shapes = jax.eval_shape(sub_tx.init, step.train_sub(variables["params"]))
+        opt0 = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), opt_shapes
+        )
+        record["opt_on_host"] = True
+        record["subtree_update"] = True
+        # the frozen e4e encoder is used ONLY by the prefix program — demote
+        # it to host so it is not device-resident during the grad programs
+        # (0.78 GB at the flagship config; exactly the margin grad_ireal
+        # missed by — oneshot_B1_ireal_hostopt OOMed on a clean heap)
+        p = dict(variables["params"])
+        p["encoder"] = jax.tree_util.tree_map(np.asarray, p["encoder"])
+        variables = {**variables, "params": p}
+        record["encoder_on_host"] = True
+    else:
+        opt0 = tx.init(variables["params"])
+    state = TrainState(variables["params"], opt0,
                        {k: v for k, v in variables.items() if k != "params"})
     del variables, gen_vars
-    t0l = [np.asarray(x) for x in
-           jax.tree_util.tree_leaves(state.params["unet_encoder"]["texture_unet"])[:8]]
+    def _trainable_sub(params):
+        node = params
+        for p in (subtree if "/" in subtree else subtree + "/texture_unet").split("/"):
+            node = node[p]
+        return node
+
+    t0l = [np.asarray(x) for x in jax.tree_util.tree_leaves(_trainable_sub(state.params))[:8]]
     buffers_ref = state.buffers  # survives `del state` (frozen collections)
 
     P = step.programs
     record["losses"] = {}
-    record["finite_losses"] = True
+    record["finite_losses"] = None  # None until at least one aux dict is checked
     rng1, rng2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
 
     def run_prog(name, jitted, *args, **static_kw):
@@ -314,6 +383,84 @@ def run_oneshot(record, fast: bool = False, remat: bool = False,
         record[f"{name}_s"] = round(time.time() - t0, 2)
         _hbm(record, name)
         return compiled, out_
+
+    def do_update(compiled, params, opt, grads, aot_name=None):
+        """One optimizer update; in host-opt mode the program is subtree-local
+        (subtree params in/out, moments host→device→host) and the result is
+        spliced back into the full tree. Returns (compiled, new_params,
+        new_opt)."""
+        args = (step.train_sub(params) if opt_on_host else params, opt, grads)
+        if aot_name is not None:
+            compiled, (new_p, new_opt) = run_prog(aot_name, P["update"], *args)
+        else:
+            new_p, new_opt = compiled(*args)
+        if opt_on_host:
+            new_opt = jax.tree_util.tree_map(np.asarray, new_opt)
+            new_p = step.merge_params(params, new_p)
+        return compiled, new_p, new_opt
+
+    if only_ireal:
+        # Ireal phase alone on a clean heap: the tex-host run showed grad_igen
+        # + update executing but grad_ireal OOMing afterwards with ~0.2 GB of
+        # arithmetic margin — this isolates whether the Ireal program fits
+        # without the Igen phase's allocator churn
+        record["only_ireal"] = True
+        params2, opt2 = state.params, state.opt_state
+        del state
+        c_px = c_upd = None
+        try:
+            if prefix:
+                c_px, px2 = run_prog(
+                    "prefix_real", P["prefix"], step.enc_params(params2),
+                    buffers_ref, {"image": batch["image"], "uv": batch["uv"]},
+                    batch["c"], batch["v"], rng1,
+                )
+                c_gr, (g2, aux2) = run_prog(
+                    "grad_ireal", P["grad_ireal"], step.gu_params(params2),
+                    buffers_ref, None, batch, rng1, px2,
+                )
+                del px2
+            else:
+                c_gr, (g2, aux2) = run_prog(
+                    "grad_ireal", P["grad_ireal"], params2, buffers_ref, None,
+                    batch, rng1,
+                )
+            record["losses"].update({k: float(v) for k, v in aux2.items()})
+            _note_finite(record, aux2)
+            c_upd, params3, opt3 = do_update(None, params2, opt2, g2,
+                                             aot_name="update")
+            del g2, params2, opt2
+        except Exception as e:  # noqa: BLE001
+            record["grad_ireal_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+            return record
+        try:
+            t1l = jax.tree_util.tree_leaves(_trainable_sub(params3))[:8]
+            record["trainable_params_moved"] = bool(
+                any(np.abs(a - np.asarray(b)).max() > 0 for a, b in zip(t0l, t1l))
+            )
+        except Exception as e:  # noqa: BLE001
+            record["trainable_params_moved"] = None
+            record["trainable_params_moved_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+        # warm Ireal step from the compiled executables
+        try:
+            t0 = time.time()
+            if prefix:
+                pxw = c_px(step.enc_params(params3), buffers_ref,
+                           {"image": batch["image"], "uv": batch["uv"]},
+                           batch["c"], batch["v"], rng2)
+                gw, auxw = c_gr(step.gu_params(params3), buffers_ref, None,
+                                batch, rng2, pxw)
+                del pxw
+            else:
+                gw, auxw = c_gr(params3, buffers_ref, None, batch, rng2)
+            _, params4, _ = do_update(c_upd, params3, opt3, gw)
+            jax.block_until_ready(jax.tree_util.tree_leaves(params4)[:1])
+            record["ireal_step_warm_s"] = round(time.time() - t0, 2)
+            _hbm(record, "ireal_step_warm")
+            _note_finite(record, auxw)
+        except Exception as e:  # noqa: BLE001
+            record["warm_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        return record
 
     # Igen cold: targets (no-grad render) -> student fwd+bwd -> update
     try:
@@ -348,15 +495,14 @@ def run_oneshot(record, fast: bool = False, remat: bool = False,
                 ws_t, gen_out, batch, rng1,
             )
         record["losses"].update({k: float(v) for k, v in aux1.items()})
-        record["finite_losses"] = record["finite_losses"] and _finite(aux1)
+        _note_finite(record, aux1)
         del ws_t, gen_out, px
     except Exception as e:  # noqa: BLE001
         record["grad_igen_error"] = f"{type(e).__name__}: {str(e)[:300]}"
         return record
     try:
-        c_upd, (params2, opt2) = run_prog(
-            "update", P["update"], state.params, state.opt_state, g,
-        )
+        c_upd, params2, opt2 = do_update(None, state.params, state.opt_state,
+                                         g, aot_name="update")
         del g, state
     except Exception as e:  # noqa: BLE001
         record["update_error"] = f"{type(e).__name__}: {str(e)[:300]}"
@@ -377,20 +523,20 @@ def run_oneshot(record, fast: bool = False, remat: bool = False,
                 "grad_ireal", P["grad_ireal"], params2, buffers_ref, None, batch, rng1,
             )
         record["losses"].update({k: float(v) for k, v in aux2.items()})
-        record["finite_losses"] = record["finite_losses"] and _finite(aux2)
-        params3, opt3 = c_upd(params2, opt2, g2)
+        _note_finite(record, aux2)
+        _, params3, opt3 = do_update(c_upd, params2, opt2, g2)
         del g2, params2, opt2
     except Exception as e:  # noqa: BLE001
         record["grad_ireal_error"] = f"{type(e).__name__}: {str(e)[:300]}"
         params3, opt3 = params2, opt2
     try:
-        t1l = jax.tree_util.tree_leaves(params3["unet_encoder"]["texture_unet"])[:8]
-        record["texture_unet_moved"] = bool(
+        t1l = jax.tree_util.tree_leaves(_trainable_sub(params3))[:8]
+        record["trainable_params_moved"] = bool(
             any(np.abs(a - np.asarray(b)).max() > 0 for a, b in zip(t0l, t1l))
         )
     except Exception as e:  # noqa: BLE001
-        record["texture_unet_moved"] = None
-        record["texture_unet_moved_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+        record["trainable_params_moved"] = None
+        record["trainable_params_moved_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     # warm Igen step from compiled executables
     try:
         t0 = time.time()
@@ -404,11 +550,11 @@ def run_oneshot(record, fast: bool = False, remat: bool = False,
                             ws_t, gen_out, batch, rng2, pxw)
         else:
             gw, auxw = c_gi(params3, buffers_ref, None, ws_t, gen_out, batch, rng2)
-        params4, _ = c_upd(params3, opt3, gw)
+        _, params4, _ = do_update(c_upd, params3, opt3, gw)
         jax.block_until_ready(jax.tree_util.tree_leaves(params4)[:1])
         record["igen_step_warm_s"] = round(time.time() - t0, 2)
         _hbm(record, "igen_step_warm")
-        record["finite_losses"] = record["finite_losses"] and _finite(auxw)
+        _note_finite(record, auxw)
     except Exception as e:  # noqa: BLE001
         record["warm_error"] = f"{type(e).__name__}: {str(e)[:300]}"
     return record
@@ -546,6 +692,171 @@ def main():
         out["configs"]["oneshot_B1_prefix"] = rec
         try:
             run_oneshot(rec, prefix=True)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        print(json.dumps(rec), flush=True)
+
+    if mode == "e4e-parity":
+        # ONE literal step and ONE fast step from byte-identical state, on
+        # chip at the flagship config; the updated encoder subtrees are
+        # diffed elementwise on host. VERDICT r4 next-8. Writes
+        # docs/e4e_fast_vs_literal_tpu.json.
+        print("== e4e fast-vs-literal one-step parity (on chip) ==", flush=True)
+        parity = {"device_kind": jax.devices()[0].device_kind}
+        cap_lit, cap_fast = {}, {}
+        rec_l, rec_f = {}, {}
+        out["configs"]["e4e_B1_parity_literal"] = rec_l
+        out["configs"]["e4e_B1_parity_fast"] = rec_f
+        try:
+            run_e4e(rec_l, fast=False, capture=cap_lit)
+        except Exception as e:  # noqa: BLE001
+            rec_l["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        try:
+            run_e4e(rec_f, fast=True, capture=cap_fast)
+        except Exception as e:  # noqa: BLE001
+            rec_f["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        if cap_lit and cap_fast and set(cap_lit) == set(cap_fast):
+            per_leaf = {}
+            worst = (None, 0.0)
+            for k in cap_lit:
+                a, b = cap_lit[k], cap_fast[k]
+                d = float(np.abs(a - b).max())
+                scale = float(np.abs(a).max()) + 1e-12
+                per_leaf[k] = {"max_abs": d, "rel": d / scale}
+                if d / scale > worst[1]:
+                    worst = (k, d / scale)
+            parity["n_leaves"] = len(per_leaf)
+            parity["max_abs_delta"] = max(v["max_abs"] for v in per_leaf.values())
+            parity["max_rel_delta"] = worst[1]
+            parity["worst_leaf"] = worst[0]
+            parity["mean_rel_delta"] = float(
+                np.mean([v["rel"] for v in per_leaf.values()])
+            )
+            # loss-level comparison (shared keys only — the two formulations
+            # emit the same aux names)
+            shared = set(rec_l.get("losses", {})) & set(rec_f.get("losses", {}))
+            parity["loss_deltas"] = {
+                k: {
+                    "literal": rec_l["losses"][k],
+                    "fast": rec_f["losses"][k],
+                    "abs_delta": abs(rec_l["losses"][k] - rec_f["losses"][k]),
+                }
+                for k in sorted(shared)
+            }
+            # tolerance statement: the fast path is a DOCUMENTED sampling
+            # deviation (train/fast_render.py), not a bit-exact rewrite; the
+            # CPU tiny-geometry parity tests bound it at rel<=2e-2 per step
+            parity["tolerance"] = {
+                "max_rel_delta": 0.05,
+                "pass": bool(worst[1] <= 0.05),
+            }
+        else:
+            parity["error"] = "capture incomplete (one of the runs failed)"
+        ppath = os.path.join(_repo, "docs", "e4e_fast_vs_literal_tpu.json")
+        with open(ppath, "w") as f:
+            json.dump(parity, f, indent=2)
+        print("wrote", ppath, json.dumps({k: v for k, v in parity.items()
+                                          if k != "loss_deltas"}), flush=True)
+
+    if mode == "oneshot-tex":
+        # literal formulation, grads over the TEX-phase trainable subtree only
+        # (unet_encoder/texture_unet — the reference's interval schedule trains
+        # one unet per batch, training_loop_unet_interval.py:358-368, and this
+        # validator's optimizer already masks to the texture unet). The
+        # whole-unet grad program plans 16.4 GB (> 16 GB HBM,
+        # oneshot_B1_prefix); the tex-phase subtree drops the frozen SFT
+        # backbone chain from the backward entirely.
+        print("== one-shot stage (literal, tex-phase subtree + prefix split) ==",
+              flush=True)
+        rec = {}
+        out["configs"]["oneshot_B1_tex"] = rec
+        try:
+            run_oneshot(rec, prefix=True, subtree="unet_encoder/texture_unet")
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        print(json.dumps(rec), flush=True)
+
+    if mode == "oneshot-tex-remat":
+        # tex-phase subtree + prefix split + staged remat: the tex-subtree
+        # grad_igen PLAN fits (args 2.26 + out 0.93 + temp 11.56 = 14.75 GB,
+        # oneshot_B1_tex) but the program still ResourceExhausts at runtime —
+        # the resident params (2.98 GB) + masked-adam moments on top exceed
+        # HBM. Staged remat attacks the 11.56 GB temp (with the prefix in its
+        # own program this is now the STUDENT render's working set, which
+        # remat can stage — unlike r4's oneshot_B1_remat where the stop-grad
+        # prefix forward dominated temp and remat moved it only 0.12 GB).
+        print("== one-shot stage (literal, tex subtree + prefix + remat) ==",
+              flush=True)
+        rec = {}
+        out["configs"]["oneshot_B1_tex_remat"] = rec
+        try:
+            run_oneshot(rec, prefix=True, remat=True,
+                        subtree="unet_encoder/texture_unet")
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        print(json.dumps(rec), flush=True)
+
+    if mode == "oneshot-tex-host":
+        # tex subtree + prefix split + OPTIMIZER-STATE HOST OFFLOAD: frees the
+        # ~1.9 GB of masked-adam moments from HBM while the grad programs run
+        # (the oneshot_B1_tex plan fits; the resident moments are what's left)
+        print("== one-shot stage (literal, tex subtree + prefix + host-opt) ==",
+              flush=True)
+        rec = {}
+        out["configs"]["oneshot_B1_tex_hostopt"] = rec
+        try:
+            # remat=True both for the extra temp margin (11.28 vs 11.56 GB)
+            # and to reuse the oneshot_B1_tex_remat compile-cache entries
+            run_oneshot(rec, prefix=True, remat=True,
+                        subtree="unet_encoder/texture_unet",
+                        opt_on_host=True)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        print(json.dumps(rec), flush=True)
+
+    if mode == "oneshot-ireal-host":
+        # the Ireal phase ALONE on a clean heap (tex subtree + prefix + remat
+        # + host-opt): isolates the oneshot_B1_tex_hostopt finding that
+        # grad_igen+update execute but grad_ireal OOMs after the Igen churn
+        print("== one-shot stage (literal Ireal only, tex+prefix+remat+host-opt) ==",
+              flush=True)
+        rec = {}
+        out["configs"]["oneshot_B1_ireal_hostopt"] = rec
+        try:
+            run_oneshot(rec, prefix=True, remat=True,
+                        subtree="unet_encoder/texture_unet",
+                        opt_on_host=True, only_ireal=True)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            flush_json()
+        print(json.dumps(rec), flush=True)
+
+    if mode == "oneshot-tri":
+        # literal formulation, TRI-phase subtree (unet_encoder/triplane_unet):
+        # grads flow through the SFT backbone (the expensive chain) but the
+        # texture unet backward drops out. Uses the tri-phase optimizer mask.
+        from invertavatar_tpu.train.loop_inversion import oneshot_tri_trainable
+
+        print("== one-shot stage (literal, tri-phase subtree + prefix split) ==",
+              flush=True)
+        rec = {}
+        out["configs"]["oneshot_B1_tri"] = rec
+        try:
+            run_oneshot(rec, prefix=True, subtree="unet_encoder/triplane_unet",
+                        trainable=oneshot_tri_trainable)
         except Exception as e:  # noqa: BLE001
             rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
         finally:

@@ -294,6 +294,41 @@ def test_oneshot_grad_programs_prefix_split_parity():
 
 
 @pytest.mark.slow
+def test_oneshot_grad_programs_nested_subtree_parity():
+    """grad_subtree='unet_encoder/texture_unet' (the tex phase of the
+    reference's interval schedule, training_loop_unet_interval.py:358-368)
+    matches the whole-unet default: the optimizer masks to the texture unet
+    either way, so the applied update is identical — the nested subtree just
+    stops computing (and materializing) the frozen triplane-unet/SFT-backbone
+    grads, which is what brings the flagship grad_igen HBM plan under 16 GB
+    (docs/train_tpu_run.json oneshot_B1_prefix planned 16.4 GB)."""
+    from invertavatar_tpu.train.loop_inversion import make_oneshot_grad_programs
+
+    net, D, state, d_state, batch, tx, d_tx, weights = _tiny_oneshot_setup()
+    l1 = lambda a, b: jnp.mean(jnp.abs(a - b))
+    base = make_oneshot_grad_programs(net, D, l1, None, tx, d_tx, weights)
+    sub = make_oneshot_grad_programs(net, D, l1, None, tx, d_tx, weights,
+                                     grad_subtree="unet_encoder/texture_unet")
+
+    for phase, key in (("Igen", 1), ("Ireal", 2)):
+        rng = jax.random.PRNGKey(key)
+        b_state, _, b_aux = base(state, d_state, batch, rng, phase=phase)
+        s_state, _, s_aux = sub(state, d_state, batch, rng, phase=phase)
+        assert set(b_aux) == set(s_aux), (phase, set(b_aux) ^ set(s_aux))
+        for k in b_aux:
+            np.testing.assert_allclose(float(b_aux[k]), float(s_aux[k]),
+                                       rtol=2e-5, atol=1e-7, err_msg=f"{phase}:{k}")
+        fb = jax.tree_util.tree_flatten_with_path(b_state.params)[0]
+        fs = jax.tree_util.tree_flatten_with_path(s_state.params)[0]
+        for (pb, ab), (ps, as_) in zip(fb, fs):
+            assert pb == ps
+            np.testing.assert_allclose(
+                np.asarray(ab), np.asarray(as_), rtol=1e-5, atol=1e-6,
+                err_msg=f"{phase}:{jax.tree_util.keystr(pb)}",
+            )
+
+
+@pytest.mark.slow
 def test_fewshot_step_tiny():
     """Ireal + Igen + D steps over the tiny generator with matched unet widths.
 
@@ -394,6 +429,109 @@ def _fewshot_step_tiny_body():
     d0 = jax.tree_util.tree_leaves(d_state.params)
     d1 = jax.tree_util.tree_leaves(new_d.params)
     assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(d0, d1))
+
+
+@pytest.mark.slow
+def test_oneshot_subtree_tx_update_parity():
+    """`subtree_tx` (subtree-local update program: subtree params/opt/grads
+    in, subtree out, host-side splice) matches the masked full-tree update —
+    the HBM lever that finally let the literal one-shot step execute on chip
+    (no 3 GB zeros reconstitution; frozen siblings need not be device-
+    resident). Equivalence holds because the adam mask selects exactly the
+    grad subtree (oneshot_tex_trainable ≡ 'unet_encoder/texture_unet')."""
+    import optax
+
+    from invertavatar_tpu.train.loop_inversion import make_oneshot_grad_programs
+    from invertavatar_tpu.train.state import TrainState
+
+    net, D, state, d_state, batch, tx, d_tx, weights = _tiny_oneshot_setup()
+    l1 = lambda a, b: jnp.mean(jnp.abs(a - b))
+    sub = "unet_encoder/texture_unet"
+    base = make_oneshot_grad_programs(net, D, l1, None, tx, d_tx, weights,
+                                      grad_subtree=sub)
+    # NOTE: _tiny_oneshot_setup's tx is masked_adam(lr, oneshot_tex_trainable);
+    # mirror its inner adam hyperparameters for the subtree optimizer
+    sub_tx = optax.adam(1e-4)
+    subu = make_oneshot_grad_programs(net, D, l1, None, tx, d_tx, weights,
+                                      grad_subtree=sub, subtree_tx=sub_tx)
+    sub_state = TrainState(
+        state.params, sub_tx.init(subu.train_sub(state.params)), state.buffers
+    )
+
+    for phase, key in (("Igen", 1), ("Ireal", 2)):
+        rng = jax.random.PRNGKey(key)
+        b_state, _, b_aux = base(state, d_state, batch, rng, phase=phase)
+        s_state, _, s_aux = subu(sub_state, d_state, batch, rng, phase=phase)
+        for k in b_aux:
+            np.testing.assert_allclose(float(b_aux[k]), float(s_aux[k]),
+                                       rtol=2e-5, atol=1e-7, err_msg=f"{phase}:{k}")
+        fb = jax.tree_util.tree_flatten_with_path(b_state.params)[0]
+        fs = jax.tree_util.tree_flatten_with_path(s_state.params)[0]
+        assert len(fb) == len(fs)
+        for (pb, ab), (ps, as_) in zip(fb, fs):
+            assert pb == ps
+            np.testing.assert_allclose(
+                np.asarray(ab), np.asarray(as_), rtol=1e-5, atol=1e-6,
+                err_msg=f"{phase}:{jax.tree_util.keystr(pb)}",
+            )
+
+
+@pytest.mark.slow
+def test_ar_forward_bf16_unets_close():
+    """`unet_eval_dtype=bf16` (the absorb fast path, bench_extra.py) stays
+    close to the fp32 reference path: the irse primitives propagate the input
+    dtype, so this gates the ONLY numeric deviation — bf16 conv/GRU compute.
+    Offsets re-enter the fp32 feature path, so closeness of the updated
+    texture/static features is the end-to-end criterion."""
+    from invertavatar_tpu.models.encoders.uvnet import InversionNet
+    from invertavatar_tpu.train.dryrun import TINY_RENDERING_KWARGS, _fake_batch
+
+    gen_cfg = dict(
+        z_dim=32, c_dim=25, w_dim=512, img_resolution=128, img_channels=3,
+        rendering_kwargs=dict(TINY_RENDERING_KWARGS, depth_resolution=6,
+                              depth_resolution_importance=6),
+        neural_rendering_resolution=32, channel_base=1024, channel_max=64,
+        map_num_layers=2,
+    )
+    rng = jax.random.PRNGKey(0)
+    rngs = {"params": rng, "buffers": jax.random.fold_in(rng, 1),
+            "noise": jax.random.fold_in(rng, 2), "ray": jax.random.fold_in(rng, 3)}
+    T = 2
+    raw = _fake_batch(np.random.RandomState(0), batch=T, res=256, z_dim=32)
+    x = {"image": jnp.asarray(raw["image"]), "uv": jnp.zeros((T, 256, 256, 6))}
+    vid_c = jnp.asarray(raw["c"])
+    vid_v = {"uvcoords_image": jnp.asarray(raw["v"]["uvcoords_image"])}
+
+    outs = {}
+    for name, dt in (("fp32", None), ("bf16", jnp.bfloat16)):
+        net = InversionNet(generator_cfg=gen_cfg,
+                           texture_out_channels=(32, 32, 16, 8),
+                           unet_eval_dtype=dt)
+        variables = net.init(
+            rngs, x, vid_c, vid_v, None, [None, None],
+            method=lambda m, x, c, v, ws, r: m.ar_forward(x, c, v, ws, r),
+        )
+        upd, r_list = net.apply(
+            variables, x, vid_c, vid_v, None, [None, None],
+            method=lambda m, x, c, v, ws, r: m.ar_forward(x, c, v, ws, r),
+            rngs={"ray": jax.random.PRNGKey(9), "noise": jax.random.PRNGKey(10)},
+        )
+        # second chunk with carried state: the GRU states cross the chunk
+        # boundary in dt — covered by the closeness check below
+        upd2, _ = net.apply(
+            variables, x, vid_c, vid_v, upd["w"], r_list,
+            method=lambda m, x, c, v, ws, r: m.ar_forward(x, c, v, ws, r),
+            rngs={"ray": jax.random.PRNGKey(9), "noise": jax.random.PRNGKey(10)},
+        )
+        outs[name] = upd2
+
+    for kind in ("texture", "static"):
+        for i, (a, b) in enumerate(zip(outs["fp32"][kind], outs["bf16"][kind])):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.isfinite(b).all(), (kind, i)
+            scale = np.abs(a).max() + 1e-6
+            rel = np.abs(a - b).max() / scale
+            assert rel < 0.05, (kind, i, rel)
 
 
 @pytest.mark.slow
