@@ -106,6 +106,7 @@ def main():
     # gather-shaped workload (see docs/PERF_NOTES.md round 4).
     mxu_util = None
     kernel_flops = None
+    mxu_err = None
     try:
         from invertavatar_tpu.ops.pallas_fused_render import (
             start_flops_ledger,
@@ -113,12 +114,20 @@ def main():
         )
 
         start_flops_ledger()
-        jax.eval_shape(frame, variables, ws, tex, static, cache, tex_cat, c, uvc)
+        # a FRESH function object: jax.eval_shape(frame, ...) resolves to the
+        # already-cached jit trace of `frame` (frame_jit warmed it above), so
+        # the trace — and with it every ledger_add — would be silently
+        # skipped; this was the r4 "dead ledger" (BENCH_r04.json had no
+        # mxu_util and kernel_flops read 0)
+        jax.eval_shape(lambda *a: frame(*a),
+                       variables, ws, tex, static, cache, tex_cat, c, uvc)
         kernel_flops = stop_flops_ledger()
         if kernel_flops > 0 and flops is not None:
             mxu_util = (flops + kernel_flops) * fps / (peak * 1e12)
-    except Exception:
-        pass
+    except Exception as e:  # noqa: BLE001
+        # a dead ledger must be VISIBLE in the artifact (ADVICE r4: the r4
+        # bench shipped without mxu_util and nothing said why)
+        mxu_err = f"{type(e).__name__}: {str(e)[:200]}"
 
     rec = {
         "metric": "reenact_512_fps_per_chip",
@@ -130,9 +139,18 @@ def main():
         rec["mfu"] = round(mfu, 4)
         rec["model_flops_per_frame"] = flops
         rec["device_kind"] = kind
+    # kernel_flops is emitted even when 0 so "ledger never armed" (0.0) is
+    # distinguishable from "ledger threw" (mxu_util_error) in the artifact.
+    # mxu_util counts every matmul FLOP the kernels issue to the MXU
+    # (including the tent-contraction taps that multiply structural zeros) —
+    # it is "how busy is the MXU", not "how much useful model compute"; the
+    # useful-compute MFU is the `mfu` field (docs/PERF_NOTES.md round 5).
+    if kernel_flops is not None:
+        rec["kernel_flops_per_frame"] = kernel_flops
     if mxu_util is not None:
         rec["mxu_util"] = round(mxu_util, 4)
-        rec["kernel_flops_per_frame"] = kernel_flops
+    if mxu_err is not None:
+        rec["mxu_util_error"] = mxu_err
     print(json.dumps(rec))
 
 

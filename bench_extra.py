@@ -225,25 +225,30 @@ def _inversion_net(unet_type: str):
     from invertavatar_tpu.models.encoders.uvnet import InversionNet
     from invertavatar_tpu.train.dryrun import _fake_batch
 
+    from invertavatar_tpu.flagship import FLAGSHIP_RENDERING_KWARGS
+
+    # the flagship rendering kwargs VERBATIM (a hand-copied subset here had
+    # drifted: it lacked tile_shape, so the absorb/invert renders ran square
+    # 32×32 kernel tiles — docs/absorb_anatomy.json measured that at
+    # 170 ms/chunk for the T=4 e4e render vs ~120 expected from bench.py's
+    # per-frame rate)
     gen_cfg = dict(
         z_dim=512, c_dim=25, w_dim=512, img_resolution=512, img_channels=3,
-        rendering_kwargs={
-            "image_resolution": 512, "disparity_space_sampling": False,
-            "clamp_mode": "softplus",
-            "superresolution_module":
-                "invertavatar_tpu.models.superresolution.SuperresolutionHybrid8XDC",
-            "c_gen_conditioning_zero": True, "c_scale": 1.0,
-            "superresolution_noise_mode": "none", "density_reg": 0.25,
-            "density_reg_p_dist": 0.004, "reg_type": "l1", "decoder_lr_mul": 1.0,
-            "sr_antialias": True, "depth_resolution": 48,
-            "depth_resolution_importance": 48, "ray_start": 2.25, "ray_end": 3.3,
-            "box_warp": 1.0, "det_stratified": True,
-            "pallas_coarse": True, "pooled_importance": True, "fast_uv_warp": True,
-        },
+        rendering_kwargs=dict(FLAGSHIP_RENDERING_KWARGS),
         neural_rendering_resolution=128, channel_base=32768, channel_max=512,
         map_num_layers=2,
+        # the flagship EVAL dtype policy (flagship.flagship_generator): bf16
+        # backbones + SR. The r4 bench built the inversion nets without these,
+        # so every absorb/invert render ran fp32 backbones — a straight loss
+        # against the fidelity-gated eval configuration the drive loop uses.
+        num_fp16_res=4, sr_num_fp16_res=4, conv_clamp=256.0,
     )
-    net = InversionNet(generator_cfg=gen_cfg, unet_type=unet_type)
+    import jax.numpy as _jnp
+
+    # bf16 ConvGRU U-Nets in the eval absorb (fidelity-gated:
+    # tests/test_inversion_e2e.py::test_ar_forward_bf16_unets_close)
+    net = InversionNet(generator_cfg=gen_cfg, unet_type=unet_type,
+                       unet_eval_dtype=_jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     rngs = {"params": rng, "buffers": jax.random.fold_in(rng, 1),
             "noise": jax.random.fold_in(rng, 2), "ray": jax.random.fold_in(rng, 3)}
@@ -284,20 +289,30 @@ def bench_fewshot(record):
         def run(m, ws):
             tex = m.generator.texture_backbone.synthesis(ws, return_list=True, noise_mode="const")
             static = m.generator.backbone.synthesis(ws, return_list=True, noise_mode="const")
-            return tex, static
+            # the e4e render caches are chunk-invariant (the frozen e4e
+            # feature lists never change during an absorb) — built ONCE here
+            # at the T-repeated batch the chunk renders use
+            rep = lambda fs: [jnp.repeat(f, T, axis=0) for f in fs]
+            cache = m.generator.precompute_raster_static(rep(static))
+            tex_cat = m.generator.precompute_texture_concat(rep(tex))
+            return tex, static, cache, tex_cat
 
         return net.apply(variables, ws, method=run)
 
-    def ar0(variables, images, uvs, cs, uvcs, ws, tex, static):
-        def run(m, images, uvs, cs, uvcs, ws, tex, static):
+    def ar0(variables, images, uvs, cs, uvcs, ws, tex, static, cache, tex_cat):
+        def run(m, images, uvs, cs, uvcs, ws, tex, static, cache, tex_cat):
             return m.ar_forward(
                 {"image": images, "uv": uvs}, cs, {"uvcoords_image": uvcs}, ws,
                 [None, None], e4e_results={"texture": tex, "static": static},
+                e4e_render_caches=(cache, tex_cat),
             )
 
-        return net.apply(variables, images, uvs, cs, uvcs, ws, tex, static, method=run)
+        return net.apply(variables, images, uvs, cs, uvcs, ws, tex, static,
+                         cache, tex_cat, method=run)
 
     def ar(variables, images, uvs, cs, uvcs, ws, tex, static, r_tex, r_tri):
+        # chunk 2+ refines the UPDATED feature lists (autoregressive), so the
+        # chunk-1 caches do not apply — the render rebuilds its gather sources
         def run(m, images, uvs, cs, uvcs, ws, tex, static, r_tex, r_tri):
             return m.ar_forward(
                 {"image": images, "uv": uvs}, cs, {"uvcoords_image": uvcs}, ws,
@@ -305,15 +320,17 @@ def bench_fewshot(record):
             )
 
         return net.apply(
-            variables, images, uvs, cs, uvcs, ws, tex, static, r_tex, r_tri, method=run
+            variables, images, uvs, cs, uvcs, ws, tex, static, r_tex, r_tri,
+            method=run
         )
 
     ar0_jit, ar_jit = jax.jit(ar0), jax.jit(ar)
 
     def absorb():
         ws = encode_first(variables, img)
-        tex, static = init_feats(variables, ws)
-        updated, (r_tex, r_tri) = ar0_jit(variables, images, uvs, cs, uvcs, ws, tex, static)
+        tex, static, cache, tex_cat = init_feats(variables, ws)
+        updated, (r_tex, r_tri) = ar0_jit(variables, images, uvs, cs, uvcs, ws,
+                                          tex, static, cache, tex_cat)
         updated, (r_tex, r_tri) = ar_jit(
             variables, images, uvs, cs, uvcs, ws,
             updated["texture"], updated["static"], r_tex, r_tri,

@@ -67,9 +67,11 @@ class FaceverseManager:
 
         self.id_coeff = None
         self.base_avatar_exp_coeff = None
+        self._id_cache = None
         if base_coeff is not None:
             base_coeff = jnp.asarray(base_coeff)[None]
             self.id_coeff, self.base_avatar_exp_coeff = self.model.split_coeffs(base_coeff)[:2]
+            self._refresh_id_cache()
 
         self._render = self._build_render_fn()
 
@@ -90,6 +92,27 @@ class FaceverseManager:
         if c.ndim == 1:
             c = c[None]
         self.id_coeff = self.model.split_coeffs(c)[0]
+        self._refresh_id_cache()
+
+    def _refresh_id_cache(self):
+        """Identity-fixed blendshape terms, computed ONCE per identity: the
+        id-basis shape and both eye centers. Without this the per-frame
+        driving program runs the [V*3, n_id] identity einsum three times
+        (get_vs + both eye-center helpers) for a vector that never changes
+        during a driving sequence (docs/online_anatomy.json
+        driven_blendshapes)."""
+        a = self.model.assets
+        import jax.numpy as _jnp
+
+        id_shape = (
+            _jnp.einsum("ij,aj->ai", _jnp.asarray(a.id_base), self.id_coeff)
+            + _jnp.asarray(a.meanshape)
+        )
+        self._id_cache = (
+            id_shape,
+            self.model.get_l_eye_center(self.id_coeff),
+            self.model.get_r_eye_center(self.id_coeff),
+        )
 
     def _build_render_fn(self):
         model = self.model
@@ -110,13 +133,12 @@ class FaceverseManager:
         extra_raster = dict(self.raster_kwargs)
 
         @jax.jit
-        def render(id_coeff, exp_coeff, eye_coeff):
+        def render(id_shape, l_eye_mean, r_eye_mean, exp_coeff, eye_coeff):
             l_eye_mat = model.compute_eye_rotation_matrix(eye_coeff[:, :2])
             r_eye_mat = model.compute_eye_rotation_matrix(eye_coeff[:, 2:])
-            l_eye_mean = model.get_l_eye_center(id_coeff)
-            r_eye_mean = model.get_r_eye_center(id_coeff)
 
-            vs = model.get_vs(id_coeff, exp_coeff, l_eye_mat, r_eye_mat, l_eye_mean, r_eye_mean)
+            vs = model.get_vs(None, exp_coeff, l_eye_mat, r_eye_mat,
+                              l_eye_mean, r_eye_mean, id_shape=id_shape)
             vert = jnp.matmul(vs[0], fv2fl[:3, :3].T) + fv2fl[:3, 3:].T
 
             transformed = (vert + orth_shift) * self.ORTH_SCALE  # tform = identity
@@ -155,4 +177,5 @@ class FaceverseManager:
             base_exp = self.model.split_coeffs(jnp.asarray(base_drive_coeff)[None])[1]
             exp_coeff = (exp_coeff - base_exp) + self.base_avatar_exp_coeff
         assert self.id_coeff is not None, "identity coefficients not set"
-        return self._render(self.id_coeff, exp_coeff, eye_coeff)
+        id_shape, l_eye_mean, r_eye_mean = self._id_cache
+        return self._render(id_shape, l_eye_mean, r_eye_mean, exp_coeff, eye_coeff)

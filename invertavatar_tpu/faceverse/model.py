@@ -125,15 +125,22 @@ class FaceVerseModel:
         )
 
     def get_vs(self, id_coeff, exp_coeff, l_eye_mat=None, r_eye_mat=None,
-               l_eye_mean=None, r_eye_mean=None) -> jnp.ndarray:
-        """Blendshape eval + eye rotations (FaceVerseModel_v3.py:237-245)."""
+               l_eye_mean=None, r_eye_mean=None, id_shape=None) -> jnp.ndarray:
+        """Blendshape eval + eye rotations (FaceVerseModel_v3.py:237-245).
+
+        `id_shape` ([B, V*3] = id_base@id + meanshape) skips the identity
+        einsum — in a driving loop the identity is fixed, and without the
+        cache the [V*3, n_id] basis read re-runs every frame (it also re-runs
+        inside both eye-center helpers; FaceverseManager.set_identity caches
+        all three)."""
         a = self.assets
-        shape = (
-            jnp.einsum("ij,aj->ai", jnp.asarray(a.id_base), id_coeff)
-            + jnp.einsum("ij,aj->ai", jnp.asarray(a.exp_base), exp_coeff)
-            + jnp.asarray(a.meanshape)
-        )
-        B = id_coeff.shape[0]
+        if id_shape is None:
+            id_shape = (
+                jnp.einsum("ij,aj->ai", jnp.asarray(a.id_base), id_coeff)
+                + jnp.asarray(a.meanshape)
+            )
+        shape = id_shape + jnp.einsum("ij,aj->ai", jnp.asarray(a.exp_base), exp_coeff)
+        B = exp_coeff.shape[0]
         vs = shape.reshape(B, -1, 3)
         if l_eye_mat is not None:
             i0, i1, i2 = a.ver_inds

@@ -97,6 +97,14 @@ class InversionNet(nn.Module):
     encoding_triplane: bool = True
     unet_type: str = "gru"  # 'gru' = few-shot (uvnet.py) | 'segformer' = one-shot (uvnet_new.py)
     texture_out_channels: Tuple[int, int, int, int] = (32, 512, 512, 256)
+    # Eval-only compute dtype for the U-Net forwards in `ar_forward` (e.g.
+    # jnp.bfloat16). The irse primitives propagate the input dtype (conv/PReLU
+    # cast weights to x.dtype; BatchNorm normalizes in fp32), so one boundary
+    # cast runs the whole trunk+GRU decoder in bf16 — the absorb anatomy
+    # (docs/absorb_anatomy.json) put the fp32 U-Nets at 71 ms of each
+    # 4-frame chunk. None keeps the reference's fp32. Training paths
+    # (`forward`, run_seq) never read this.
+    unet_eval_dtype: Any = None
 
     def setup(self):
         gen_cfg = dict(self.generator_cfg)
@@ -437,12 +445,20 @@ class InversionNet(nn.Module):
 
     # ------------------------------------------------------------- streaming
     def ar_forward(self, x: Dict, vid_c, vid_v, ws, r_list, e4e_results: Optional[Dict] = None,
-                   return_fake: bool = False):
+                   return_fake: bool = False, e4e_render_caches=None):
         """Incremental few-shot update over a T-frame chunk (uvnet.py:160-203).
 
         x: {'image': [T,256,256,3], 'uv': [T,256,256,6]}; r_list: [tex_r, tri_r]
         GRU-state pytrees carried across chunks (None on the first chunk).
         Returns (updated_e4e_results, new_r_list[, fakes]).
+
+        `e4e_render_caches`: optional (raster_static_cache,
+        texture_concat_cache) pair for this chunk's render, built from the
+        SAME T-repeated feature lists as `e4e_results` (triplane.py
+        precompute_* docs). Valid only while those lists are unchanged — the
+        first absorb chunk renders the frozen e4e lists (cacheable from the
+        feature-precompute program); later chunks refine the updated lists
+        and must rebuild or skip the caches.
         """
         T = vid_c.shape[0]
         if ws is None:
@@ -457,9 +473,14 @@ class InversionNet(nn.Module):
         def rep(feats):
             return [jnp.repeat(f, T, axis=0) for f in feats]
 
+        cache_kw = {}
+        if e4e_render_caches is not None:
+            cache_kw = {"raster_static_cache": e4e_render_caches[0],
+                        "texture_concat_cache": e4e_render_caches[1]}
         y_hat = self.generator.synthesis_withTexture(
             vid_ws, rep(tex), vid_c, vid_v, static_feats=rep(static),
             noise_mode="const", evaluation=True,  # AR absorb is eval-only
+            **cache_kw,
         )
         delta_x = y_hat["image"]
         if delta_x.shape[1] != x["image"].shape[1]:
@@ -468,10 +489,22 @@ class InversionNet(nn.Module):
         uv_input = self.get_unet_uvinput(x["uv"], delta_x)
         tri_input = jnp.concatenate([x["image"][..., :3], delta_x], axis=-1)
 
+        dt = self.unet_eval_dtype
+        if dt is not None:
+            cast = lambda t: jax.tree_util.tree_map(lambda a: a.astype(dt), t)
+            uv_input, tri_input = uv_input.astype(dt), tri_input.astype(dt)
+            r_list = [None if r is None else cast(r) for r in r_list]
         tex_offsets, r_tex = self.unet_encoder.texture_unet(uv_input[None], r_list[0])
+        sft, r_tri = self.unet_encoder.triplane_unet(tri_input[None], r_list[1])
+        if dt is not None:
+            f32 = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32), t)
+            # offsets/SFT re-enter the fp32 generator feature path; GRU states
+            # stay in dt (they only ever feed the next chunk's bf16 cells)
+            tex_offsets, sft = f32(tex_offsets), f32(sft)
         texture_feats = [f + o for f, o in zip(tex, tex_offsets)] + list(tex[len(tex_offsets):])
 
-        sft, r_tri = self.unet_encoder.triplane_unet(tri_input[None], r_list[1])
+
         static_feats = self.generator.backbone.synthesis(
             ws, return_list=True, feat_conditions=sft, noise_mode="const"
         )

@@ -191,14 +191,19 @@ class TriPlaneGenerator(nn.Module):
                 # (half the traffic; same error class as the bf16 backbone taps)
                 if fast_uv and cat.dtype == jnp.float32:
                     cat = cat.astype(jnp.bfloat16)
-            sources[res] = cat
+            # the key carries the grid_res the dtype decision above was made
+            # for (ADVICE r4): using a cache built for one uvcoords resolution
+            # with another would silently mis-cast groups — the keyed lookup
+            # in `rasterize` turns that into a loud error instead
+            sources[(res, grid_res)] = cat
         return sources
 
     def precompute_texture_concat(self, texture_feats: List[jnp.ndarray], grid_res: int = 256):
         """Frame-independent half of the UV warp: the per-resolution
         channel-concat gather sources (ADVICE r3 — rebuilt per frame
         otherwise). Pass to `synthesis_withTexture(texture_concat_cache=...)`
-        alongside `raster_static_cache`."""
+        alongside `raster_static_cache`. `grid_res` must be the uvcoords
+        resolution the cache will be used with (256 for every shipped config)."""
         return self._texture_group_sources(texture_feats, grid_res)
 
     def rasterize(
@@ -247,7 +252,17 @@ class TriPlaneGenerator(nn.Module):
         alpha_by_res = {}
         upper_by_res = {}
         for res, idxs in by_res.items():
-            cat = sources[res]
+            key = (res, grid.shape[1])
+            if key not in sources:
+                built_for = sorted({k[1] for k in sources})
+                raise ValueError(
+                    f"texture_concat_cache was built for grid_res={built_for} "
+                    f"but is used with uvcoords resolution {grid.shape[1]} — "
+                    "the fast-uv dtype decision is grid_res-dependent; rebuild "
+                    "the cache with precompute_texture_concat(tex, grid_res="
+                    f"{grid.shape[1]})"
+                )
+            cat = sources[key]
             assert cat.shape[-1] == sum(texture_feats[i].shape[-1] for i in idxs), (
                 "texture_concat_cache does not match the texture pyramid"
             )
