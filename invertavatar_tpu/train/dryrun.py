@@ -196,7 +196,7 @@ def run_dryrun_inversion(n_devices: int, devices=None) -> None:
         # render, and the fine-pass machinery (marcher + searchsorted +
         # resample + rank merge) roughly doubles each program's HLO — the GAN
         # half keeps 8+8 so the two-pass path stays dryrun-covered
-        rendering_kwargs=dict(TINY_RENDERING_KWARGS, depth_resolution=6,
+        rendering_kwargs=dict(TINY_RENDERING_KWARGS, depth_resolution=4,
                               depth_resolution_importance=0),
         neural_rendering_resolution=32, channel_base=1024, channel_max=64,
         map_num_layers=2,
