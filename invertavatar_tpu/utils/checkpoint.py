@@ -100,7 +100,10 @@ def save_orbax(path: str, tree) -> None:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(os.path.abspath(path), tree)
+    # force=True: snapshot tags repeat across resumed runs ("snapshot-final",
+    # same-nimg ticks) — overwrite is the snapshot semantics; without it a
+    # resumed run's final save crashes with "Destination ... already exists"
+    ckptr.save(os.path.abspath(path), tree, force=True)
 
 
 def restore_orbax(path: str, template=None):
