@@ -58,6 +58,11 @@ def main(argv=None):
         density_reg=args.density_reg,
         superresolution_noise_mode="random",
         det_stratified=False,
+        # training keeps the reference's literal 48+48 stochastic sampling
+        # (train_3dgan.sh); the flagship dict carries the fidelity-gated
+        # 40+24 EVAL budget (flagship.py round-5 note)
+        depth_resolution=48,
+        depth_resolution_importance=48,
     )
 
     augment_pipe = None

@@ -22,8 +22,16 @@ FLAGSHIP_RENDERING_KWARGS = {
     "reg_type": "l1",
     "decoder_lr_mul": 1.0,
     "sr_antialias": True,
-    "depth_resolution": 48,
-    "depth_resolution_importance": 48,
+    # round-5 EVAL sampling budget (reference trains/evals at 48+48): with the
+    # tile-pooled fine CDF the gate metrics are sample-count-flat — 40+24
+    # scores the SAME MS-SSIM (0.9968) and a BETTER min PSNR (47.23 vs 46.87)
+    # than 48+48 on the committed flagship torch-oracle trajectory while
+    # buying ~17% frame time (docs/online_r5.json sweep: every config from
+    # 48+48 down to 40+16 passes the 0.996/45 dB gate; 40+16 is another
+    # +1.8 fps online if needed). Training formulations keep the literal
+    # 48+48 (validators/configs set their own rendering kwargs).
+    "depth_resolution": 40,
+    "depth_resolution_importance": 24,
     "ray_start": 2.25,
     "ray_end": 3.3,
     "box_warp": 1.0,

@@ -18,10 +18,27 @@ from ..layers import FullyConnectedLayer
 from .irse import Conv2d, Linear, _Body, _InputLayer
 
 
-def trunk_layers(inp_ch: int, taps: Tuple[int, ...], x, train: bool):
-    """Instantiate input_layer + body in the caller's scope (torch child names)."""
+def trunk_layers(inp_ch: int, taps: Tuple[int, ...], x, train: bool,
+                 num_layers: int = 50):
+    """Instantiate input_layer + body in the caller's scope (torch child names).
+
+    `num_layers=8` builds the 4-block tiny trunk (one bottleneck per stage —
+    same stage-end channels 64/128/256/512 and strides as IR-SE-50, so every
+    decoder that consumes the taps is unchanged). Test/dryrun-only: the
+    multichip dryrun's compile cost on the driver's 1-core host is dominated
+    by the fixed-width IR-SE-50 trunks, which don't shrink with channel_base
+    (docs/dryrun_cold_time.json). Tap ids stay in the 50-layout numbering —
+    they are remapped to the tiny layout's stage-end blocks internally."""
     x = _InputLayer(inp_ch, name="input_layer")(x, train=train)
-    return _Body(50, tuple(taps), name="body")(x, train=train)
+    if num_layers == 50:
+        return _Body(50, tuple(taps), name="body")(x, train=train)
+    # stage membership in the 50-layout: 0-2 / 3-6 / 7-20 / 21-23
+    def stage_of(i):
+        return 0 if i <= 2 else 1 if i <= 6 else 2 if i <= 20 else 3
+    mapped = tuple(sorted({stage_of(t) for t in taps}))
+    xf, feats8 = _Body(num_layers, mapped, name="body")(x, train=train)
+    feats = {t: feats8[stage_of(t)] for t in taps}
+    return xf, feats
 
 
 def upsample_add(x, y):
@@ -91,10 +108,12 @@ class Encoder4Editing(nn.Module):
     inp_ch: int = 3
     coarse_ind: int = 3
     middle_ind: int = 7
+    trunk_layers_n: int = 50  # 8 = tiny trunk (test/dryrun-only)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        _, feats = trunk_layers(self.inp_ch, (6, 20, 23), x, train)
+        _, feats = trunk_layers(self.inp_ch, (6, 20, 23), x, train,
+                                num_layers=self.trunk_layers_n)
         c1, c2, c3 = feats[6], feats[20], feats[23]
 
         p2 = upsample_add(c3, Conv2d(256, 512, kernel=1, stride=1, padding=0, name="latlayer1")(c2))

@@ -200,6 +200,9 @@ class BottleneckIRSE(nn.Module):
 def get_blocks(num_layers: int = 50) -> List[Tuple[int, int, int]]:
     """(in_ch, depth, stride) per bottleneck (helpers.py:30-58)."""
     cfg = {
+        # 8: TEST/DRYRUN-ONLY tiny trunk — one bottleneck per stage, same
+        # stage-end channels/strides as IR-SE-50 (see e4e.trunk_layers)
+        8: [(64, 64, 1), (64, 128, 1), (128, 256, 1), (256, 512, 1)],
         50: [(64, 64, 3), (64, 128, 4), (128, 256, 14), (256, 512, 3)],
         100: [(64, 64, 3), (64, 128, 13), (128, 256, 30), (256, 512, 3)],
         152: [(64, 64, 3), (64, 128, 8), (128, 256, 36), (256, 512, 3)],

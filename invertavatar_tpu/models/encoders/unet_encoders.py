@@ -191,6 +191,7 @@ class TriPlanefeatEncoder(nn.Module):
     # flagship generator widths (unet_encoders.py:131-134); configurable so
     # tiny test generators can be driven end-to-end
     out_channels: Tuple[int, int, int, int] = (32, 512, 512, 256)
+    trunk_layers_n: int = 50  # 8 = tiny trunk (test/dryrun-only)
 
     @nn.compact
     def __call__(self, x, r_list=None, train: bool = False):
@@ -199,7 +200,8 @@ class TriPlanefeatEncoder(nn.Module):
         x = x.reshape(B * T, *x.shape[2:])
         if self.res is not None:
             x = _fit_res(x, self.res)
-        xf, feats = trunk_layers(self.inp_ch, (2, 6, 20, 21), x, train)
+        xf, feats = trunk_layers(self.inp_ch, (2, 6, 20, 21), x, train,
+                                 num_layers=self.trunk_layers_n)
         c0, c1, c2, c3 = feats[2], feats[6], feats[20], feats[21]
 
         oc = self.out_channels
@@ -263,6 +265,7 @@ class TriPlaneSFTfeatEncoder(nn.Module):
     # defaults; configurable for tiny test generators
     channel_base: int = 32768
     channel_max: int = 512
+    trunk_layers_n: int = 50  # 8 = tiny trunk (test/dryrun-only)
 
     @nn.compact
     def __call__(self, x, r_list=None, train: bool = False):
@@ -271,7 +274,8 @@ class TriPlaneSFTfeatEncoder(nn.Module):
         x = x.reshape(B * T, *x.shape[2:])
         if self.res is not None:
             x = _fit_res(x, self.res)
-        xf, feats = trunk_layers(self.inp_ch, (2, 6, 20, 21), x, train)
+        xf, feats = trunk_layers(self.inp_ch, (2, 6, 20, 21), x, train,
+                                 num_layers=self.trunk_layers_n)
         c0, c1, c2, c3 = feats[2], feats[6], feats[20], feats[21]
 
         body_out = {16: 512, 32: 384, 64: 256, 128: 96, 256: 96}

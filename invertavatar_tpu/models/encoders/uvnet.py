@@ -50,19 +50,22 @@ class UnetEncoderPair(nn.Module):
     texture_out_channels: Tuple[int, int, int, int] = (32, 512, 512, 256)
     channel_base: int = 32768
     channel_max: int = 512
+    trunk_layers_n: int = 50  # 8 = tiny trunk (test/dryrun-only)
 
     def setup(self):
         if self.unet_type == "gru":
             self.texture_unet = (
                 TriPlanefeatEncoder(inp_ch=7, res=256, use_gru=True,
-                                    out_channels=self.texture_out_channels)
+                                    out_channels=self.texture_out_channels,
+                                    trunk_layers_n=self.trunk_layers_n)
                 if self.encoding_texture
                 else None
             )
             self.triplane_unet = (
                 TriPlaneSFTfeatEncoder(inp_ch=6, res=256, use_gru=True,
                                        channel_base=self.channel_base,
-                                       channel_max=self.channel_max)
+                                       channel_max=self.channel_max,
+                                       trunk_layers_n=self.trunk_layers_n)
                 if self.encoding_triplane
                 else None
             )
@@ -105,16 +108,22 @@ class InversionNet(nn.Module):
     # 4-frame chunk. None keeps the reference's fp32. Training paths
     # (`forward`, run_seq) never read this.
     unet_eval_dtype: Any = None
+    # 8 = tiny IR-SE trunks in the e4e encoder AND both U-Nets (one
+    # bottleneck per stage; same tap channels/strides) — test/dryrun-only:
+    # the multichip dryrun's XLA-CPU compile is trunk-dominated
+    trunk_layers_n: int = 50
 
     def setup(self):
         gen_cfg = dict(self.generator_cfg)
         self.generator = TriPlaneGenerator(**gen_cfg)
-        self.encoder = Encoder4Editing(n_styles=self.n_styles, inp_ch=3)
+        self.encoder = Encoder4Editing(n_styles=self.n_styles, inp_ch=3,
+                                       trunk_layers_n=self.trunk_layers_n)
         self.unet_encoder = UnetEncoderPair(
             self.encoding_texture, self.encoding_triplane, unet_type=self.unet_type,
             texture_out_channels=self.texture_out_channels,
             channel_base=gen_cfg.get("channel_base", 32768),
             channel_max=gen_cfg.get("channel_max", 512),
+            trunk_layers_n=self.trunk_layers_n,
         )
         self.latent_avg = self.variable(
             "buffers", "latent_avg", lambda: jnp.zeros((1, 512), jnp.float32)

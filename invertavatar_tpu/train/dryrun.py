@@ -85,11 +85,13 @@ def run_dryrun(n_devices: int, devices=None) -> None:
     """Create an n-device mesh, jit the full training step, run one step."""
     mesh = make_mesh(devices=devices if devices is not None else jax.devices()[:n_devices])
     nrr = 32
-    # 64² output (SR 2× from the 32² neural render): the 128 blocks were the
-    # largest contributors to the single giant train-step program's XLA-CPU
-    # compile on the driver's 1-core host; the step stays structurally
-    # complete (both backbones, SR, D, R1 double-backward, lazy reg, EMA)
-    res = 64
+    # 128² output: the smallest geometry the SR library supports — the 2X
+    # module's block resolutions are hard-wired to 64/128 (reference
+    # superresolution.py:93), so a 64² "shrink" emits 128² images into a 64²
+    # discriminator and crashes (caught by the cold-time battery; the
+    # r5 311 s GAN measurement in docs/dryrun_cold_time.json is THIS config
+    # with shape-based init + the opt-level-0 flags)
+    res = 128
     G, D = tiny_models(nrr=nrr, img_res=res)
     cfg = GANLossConfig(
         r1_gamma=8.0,
@@ -201,7 +203,12 @@ def run_dryrun_inversion(n_devices: int, devices=None) -> None:
         neural_rendering_resolution=32, channel_base=1024, channel_max=64,
         map_num_layers=2,
     )
-    net = InversionNet(generator_cfg=gen_cfg, texture_out_channels=(32, 32, 16, 8))
+    # tiny IR-SE trunks (one bottleneck per stage): the fixed-width 24-block
+    # trunks dominated the dryrun's XLA-CPU compile (unets_fwd/vjp + encode
+    # were ~280 s of the ~630 s inversion half; the sharding story is
+    # trunk-depth-independent)
+    net = InversionNet(generator_cfg=gen_cfg, texture_out_channels=(32, 32, 16, 8),
+                       trunk_layers_n=8)
     rng = jax.random.PRNGKey(0)
     rngs = {"params": rng, "buffers": jax.random.fold_in(rng, 1),
             "noise": jax.random.fold_in(rng, 2), "ray": jax.random.fold_in(rng, 3)}

@@ -54,6 +54,11 @@ def build():
     for k in ("pallas_coarse", "pooled_importance", "fast_uv_warp",
               "tile_shape", "det_stratified"):
         rk.pop(k, None)
+    # literal training sampling (train_3dgan.sh geometry): the flagship EVAL
+    # kwargs carry the round-5 40+24 eval budget (flagship.py), but training
+    # keeps the reference's stochastic 48+48
+    rk["depth_resolution"] = 48
+    rk["depth_resolution_importance"] = 48
     G = G.clone(rendering_kwargs=rk)
     D = DualDiscriminator(
         c_dim=25, img_resolution=512, img_channels=6,
